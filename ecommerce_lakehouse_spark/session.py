@@ -1,0 +1,63 @@
+"""SparkSession construction tuned for the engine.
+
+The reference relies on Databricks-managed sessions; here we own the
+configuration. Defaults are chosen for correctness-at-scale first:
+
+- AQE on (runtime shuffle coalescing + skew-join splitting) — the sandbox
+  stand-in for the skew handling a 1000-executor cluster needs.
+- Arrow execution on, so the only Python that ever touches rows is
+  vectorized (pandas/Arrow UDFs); per-row Python is banned by construction
+  (see tests/test_no_per_row_python.py).
+- Shuffle partitions sized to cores by default; at real cluster scale this
+  is overridden to ~2-3x total cores and AQE coalesces down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ecommerce-lakehouse-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores=None uses ``SPARK_GRAFT_CPUS`` env or ``local[*]``. On a real
+    cluster, master comes from spark-submit and ``cores`` is ignored.
+    """
+    if cores is None:
+        env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env_cpus}]" if env_cpus else "local[*]"
+    else:
+        master = f"local[{cores}]"
+
+    if shuffle_partitions is None:
+        if cores is not None:
+            shuffle_partitions = max(cores, 4)
+        else:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,29 @@
+"""Every REGISTRY query must match its DuckDB oracle exactly — the local
+mirror of the driver's CORRECTNESS gate (order-insensitive value compare)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ecommerce_lakehouse_spark.queries import REGISTRY
+
+from .conftest import SF_ORACLE
+from .util_compare import assert_frames_match, duckdb_run
+
+SQL_BACKED = [name for name, (_fn, sql) in REGISTRY.items() if sql is not None]
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_query_matches_oracle(spark, name):
+    fn, sql = REGISTRY[name]
+    spark_pdf = fn(spark, SF_ORACLE).toPandas()
+    oracle_pdf = duckdb_run(sql, SF_ORACLE)
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()).issubset(set(e.queries()))
