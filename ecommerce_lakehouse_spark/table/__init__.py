@@ -1,0 +1,2 @@
+from .format import IcehouseTable, CommitConflict, Snapshot, DataFile  # noqa: F401
+from .predicates import Predicate  # noqa: F401

@@ -1,0 +1,454 @@
+"""Icehouse: a minimal from-scratch Iceberg-style copy-on-write table format.
+
+Replaces what the reference delegates to Delta Lake/Unity Catalog
+(``src/utils/01_unity_catalog_create.py``, every ``saveAsTable``/MERGE site):
+ACID snapshots, file-level statistics, time travel, and the metadata the
+maintenance suite (compaction, Z-order, snapshot expiry, manifest rewrite)
+operates on.
+
+Layout under ``table_path/``::
+
+    metadata/v{N:010d}.metadata.json   -- one per commit; N strictly increasing
+    manifests/manifest-*.jsonl         -- one JSON object per data file
+    manifests/manifest-list-*.json     -- snapshot's list of manifests
+    data/*.parquet                     -- immutable data files
+    ledger/                            -- maintenance-job checkpoints
+
+Commit protocol (optimistic concurrency, BASELINE north_rule):
+  1. stage data files + manifests (content-addressed, never overwritten)
+  2. build metadata JSON for version N+1
+  3. atomically publish via hard-link-or-exclusive-create of the version file —
+     exactly Iceberg's HadoopTableOperations rename-CAS. A loser of the race
+     gets ``CommitConflict``, rebases (append: always safe; replace: only if
+     its removed files are still live), and retries.
+
+On a real cluster the same protocol runs against any filesystem with atomic
+create (HDFS, or a catalog/DynamoDB-style CAS for S3); the local-FS version
+is the sandbox stand-in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from . import stats as stats_mod
+from .predicates import Predicate, prune_files
+
+
+class CommitConflict(Exception):
+    """Another writer committed first and the operations don't compose."""
+
+
+@dataclass
+class DataFile:
+    path: str
+    row_count: int
+    size_bytes: int
+    stats: dict = field(default_factory=dict)
+    # snapshot id that added this file (lineage)
+    added_by: int | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "row_count": self.row_count,
+            "size_bytes": self.size_bytes,
+            "stats": self.stats,
+            "added_by": self.added_by,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(d["path"], d["row_count"], d["size_bytes"], d.get("stats", {}), d.get("added_by"))
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # append | replace | overwrite | delete | expire
+    manifest_list: str
+    summary: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "manifest_list": self.manifest_list,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            d["snapshot_id"], d.get("parent_id"), d["timestamp_ms"],
+            d["operation"], d["manifest_list"], d.get("summary", {}),
+        )
+
+
+class IcehouseTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, "metadata")
+        self.manifest_dir = os.path.join(self.path, "manifests")
+        self.data_dir = os.path.join(self.path, "data")
+        self.ledger_dir = os.path.join(self.path, "ledger")
+
+    # ------------------------------------------------------------------ meta
+
+    def _version_file(self, v: int) -> str:
+        return os.path.join(self.meta_dir, f"v{v:010d}.metadata.json")
+
+    def current_version(self) -> int:
+        if not os.path.isdir(self.meta_dir):
+            return 0
+        versions = [
+            int(f[1:11])
+            for f in os.listdir(self.meta_dir)
+            if f.endswith(".metadata.json")
+        ]
+        return max(versions, default=0)
+
+    def load_metadata(self, version: int | None = None) -> dict:
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            raise FileNotFoundError(f"table {self.path} has no committed metadata")
+        with open(self._version_file(v)) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return self.current_version() > 0
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.load_metadata()["schema"])
+
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot.from_json(s) for s in self.load_metadata()["snapshots"]]
+
+    def current_snapshot(self) -> Snapshot | None:
+        md = self.load_metadata()
+        cur = md.get("current_snapshot_id")
+        for s in md["snapshots"]:
+            if s["snapshot_id"] == cur:
+                return Snapshot.from_json(s)
+        return None
+
+    def properties(self) -> dict:
+        return self.load_metadata().get("properties", {})
+
+    # ------------------------------------------------------------- manifests
+
+    def _read_manifest(self, rel: str) -> list[DataFile]:
+        out = []
+        with open(os.path.join(self.path, rel)) as f:
+            for line in f:
+                if line.strip():
+                    out.append(DataFile.from_json(json.loads(line)))
+        return out
+
+    def _write_manifest(self, files: list[DataFile]) -> str:
+        rel = f"manifests/manifest-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self.path, rel)
+        with open(full + ".tmp", "w") as f:
+            for df in files:
+                f.write(json.dumps(df.to_json()) + "\n")
+        os.rename(full + ".tmp", full)
+        return rel
+
+    def _write_manifest_list(self, manifest_rels: list[str]) -> str:
+        rel = f"manifests/manifest-list-{uuid.uuid4().hex}.json"
+        full = os.path.join(self.path, rel)
+        with open(full + ".tmp", "w") as f:
+            json.dump({"manifests": manifest_rels}, f)
+        os.rename(full + ".tmp", full)
+        return rel
+
+    def manifests_of(self, snapshot: Snapshot) -> list[str]:
+        with open(os.path.join(self.path, snapshot.manifest_list)) as f:
+            return json.load(f)["manifests"]
+
+    def live_files(self, snapshot: Snapshot | None = None) -> list[DataFile]:
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            return []
+        files: list[DataFile] = []
+        for rel in self.manifests_of(snap):
+            files.extend(self._read_manifest(rel))
+        return files
+
+    # ----------------------------------------------------------------- write
+
+    def _stage_dataframe(
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None,
+        snapshot_id: int,
+        target_partitions: int | None = None,
+    ) -> list[DataFile]:
+        """Write df's data as immutable parquet files + collect their stats."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        if target_partitions is not None:
+            df = df.repartition(target_partitions)
+        df.write.mode("overwrite").parquet(staging)
+        moved = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            final = os.path.join(
+                self.data_dir, f"{snapshot_id:08d}-{uuid.uuid4().hex[:12]}-{name}"
+            )
+            os.rename(os.path.join(staging, name), final)
+            moved.append(final)
+        shutil.rmtree(staging, ignore_errors=True)
+        if stats_cols is None:
+            stats_cols = self._default_stats_cols(df.schema)
+        collected = stats_mod.collect_stats(self.spark, moved, stats_cols)
+        return [
+            DataFile(
+                os.path.relpath(c["path"], self.path),
+                c["row_count"],
+                c["size_bytes"],
+                c["stats"],
+                added_by=snapshot_id,
+            )
+            for c in collected
+        ]
+
+    @staticmethod
+    def _default_stats_cols(schema: StructType) -> list[str]:
+        skip = {"binary"}
+        return [f.name for f in schema.fields if f.dataType.typeName() not in skip]
+
+    def _try_publish(self, version: int, metadata: dict) -> bool:
+        tmp = self._version_file(version) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(metadata, f, indent=1)
+        try:
+            os.link(tmp, self._version_file(version))  # atomic CAS on POSIX
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _commit(
+        self,
+        operation: str,
+        added: list[DataFile],
+        removed_paths: set[str],
+        schema_json: dict | None = None,
+        properties: dict | None = None,
+        max_retries: int = 10,
+        extra_summary: dict | None = None,
+    ) -> Snapshot:
+        """Optimistic commit with rebase-and-retry."""
+        for _attempt in range(max_retries):
+            version = self.current_version()
+            if version == 0:
+                base_files: list[DataFile] = []
+                md = {
+                    "format_version": 1,
+                    "table_uuid": uuid.uuid4().hex,
+                    "schema": schema_json,
+                    "properties": properties or {},
+                    "snapshots": [],
+                    "current_snapshot_id": None,
+                }
+                parent = None
+            else:
+                md = self.load_metadata(version)
+                cur = md.get("current_snapshot_id")
+                parent = cur
+                snap = next(
+                    (s for s in md["snapshots"] if s["snapshot_id"] == cur), None
+                )
+                base_files = (
+                    self.live_files(Snapshot.from_json(snap)) if snap else []
+                )
+                if schema_json is not None:
+                    md["schema"] = schema_json
+                if properties:
+                    md["properties"] = {**md.get("properties", {}), **properties}
+            live_paths = {f.path for f in base_files}
+            if removed_paths - live_paths:
+                # Rebase impossible: another writer already rewrote/removed
+                # files this operation depends on — snapshot isolation says abort.
+                raise CommitConflict(
+                    f"{operation}: files no longer live: "
+                    f"{sorted(removed_paths - live_paths)[:3]}..."
+                )
+            new_files = [f for f in base_files if f.path not in removed_paths] + added
+            snapshot_id = (parent or 0) + 1 if parent else version + 1
+            snapshot_id = max(snapshot_id, version + 1)
+            manifest_rel = self._write_manifest(new_files)
+            manifest_list_rel = self._write_manifest_list([manifest_rel])
+            summary = {
+                "added_files": len(added),
+                "added_rows": sum(f.row_count for f in added),
+                "added_bytes": sum(f.size_bytes for f in added),
+                "removed_files": len(removed_paths),
+                "total_files": len(new_files),
+                "total_rows": sum(f.row_count for f in new_files),
+                "total_bytes": sum(f.size_bytes for f in new_files),
+                **(extra_summary or {}),
+            }
+            snap_obj = Snapshot(
+                snapshot_id=snapshot_id,
+                parent_id=parent,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                manifest_list=manifest_list_rel,
+                summary=summary,
+            )
+            md["snapshots"] = md.get("snapshots", []) + [snap_obj.to_json()]
+            md["current_snapshot_id"] = snapshot_id
+            if self._try_publish(version + 1, md):
+                return snap_obj
+            time.sleep(0.01 * (_attempt + 1))
+        raise CommitConflict(f"{operation}: lost commit race {max_retries} times")
+
+    # ------------------------------------------------------------ public API
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        properties: dict | None = None,
+        target_partitions: int | None = None,
+    ) -> "IcehouseTable":
+        tbl = IcehouseTable(spark, path)
+        os.makedirs(tbl.meta_dir, exist_ok=True)
+        os.makedirs(tbl.manifest_dir, exist_ok=True)
+        os.makedirs(tbl.data_dir, exist_ok=True)
+        os.makedirs(tbl.ledger_dir, exist_ok=True)
+        added = tbl._stage_dataframe(df, stats_cols, snapshot_id=1,
+                                     target_partitions=target_partitions)
+        tbl._commit(
+            "append",
+            added,
+            set(),
+            schema_json=df.schema.jsonValue(),
+            properties=properties,
+        )
+        return tbl
+
+    def append(self, df: DataFrame, stats_cols: list[str] | None = None,
+               target_partitions: int | None = None) -> Snapshot:
+        added = self._stage_dataframe(
+            df, stats_cols, snapshot_id=self.current_version() + 1,
+            target_partitions=target_partitions,
+        )
+        return self._commit("append", added, set())
+
+    def replace_files(
+        self,
+        removed_paths: list[str],
+        new_df: DataFrame | None,
+        operation: str = "replace",
+        stats_cols: list[str] | None = None,
+        target_partitions: int | None = None,
+        extra_summary: dict | None = None,
+        precomputed_added: list[DataFile] | None = None,
+    ) -> Snapshot:
+        """Copy-on-write primitive: atomically swap removed files for new data.
+
+        MERGE, compaction and clustering all reduce to this. ``new_df=None``
+        (with no precomputed files) expresses pure deletion.
+        """
+        if precomputed_added is not None:
+            added = precomputed_added
+        elif new_df is not None:
+            added = self._stage_dataframe(
+                new_df, stats_cols, snapshot_id=self.current_version() + 1,
+                target_partitions=target_partitions,
+            )
+        else:
+            added = []
+        return self._commit(
+            operation, added, set(removed_paths), extra_summary=extra_summary
+        )
+
+    def overwrite(self, df: DataFrame, stats_cols: list[str] | None = None,
+                  target_partitions: int | None = None) -> Snapshot:
+        current = [f.path for f in self.live_files()]
+        return self.replace_files(
+            current, df, operation="overwrite", stats_cols=stats_cols,
+            target_partitions=target_partitions,
+        )
+
+    # ------------------------------------------------------------------ read
+
+    def scan(
+        self,
+        predicates: list[Predicate] | None = None,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+        apply_residual: bool = True,
+    ) -> DataFrame:
+        """Snapshot-scoped scan with manifest-stats file pruning.
+
+        The same predicate is applied again as a Spark filter so Catalyst
+        pushes it into the parquet row-group reader of surviving files.
+        """
+        snap = self._resolve_snapshot(snapshot_id)
+        files = self.live_files(snap)
+        kept = prune_files(files, self._stats_predicates(predicates))
+        schema = self.schema()
+        if not kept:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f.path) for f in kept]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if predicates and apply_residual:
+            for p in predicates:
+                df = df.filter(p.to_column())
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def planned_files(
+        self, predicates: list[Predicate] | None = None, snapshot_id: int | None = None
+    ) -> list[DataFile]:
+        """The scan planner's file list (exposed for tests/maintenance)."""
+        snap = self._resolve_snapshot(snapshot_id)
+        return prune_files(self.live_files(snap), self._stats_predicates(predicates))
+
+    def _resolve_snapshot(self, snapshot_id: int | None) -> Snapshot | None:
+        if snapshot_id is None:
+            return self.current_snapshot()
+        for s in self.snapshots():
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise ValueError(f"unknown snapshot {snapshot_id}")
+
+    @staticmethod
+    def _stats_predicates(predicates: list[Predicate] | None) -> list[Predicate] | None:
+        """Normalize predicate values to the manifests' stats encoding
+        (timestamps → epoch micros, etc.)."""
+        if not predicates:
+            return predicates
+        out = []
+        for p in predicates:
+            if p.op in ("is_null", "not_null"):
+                out.append(p)
+                continue
+            if p.op == "in":
+                v = tuple(stats_mod._norm(x, upper=False) for x in p.value)
+            else:
+                v = stats_mod._norm(p.value, upper=False)
+            out.append(Predicate(p.column, p.op, v))
+        return out

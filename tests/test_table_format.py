@@ -1,0 +1,144 @@
+"""Icehouse table format: snapshots, stats, pruning, atomic commits."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_spark.datagen import generate_pages
+from ecommerce_lakehouse_spark.table import CommitConflict, IcehouseTable, Predicate
+
+
+@pytest.fixture()
+def pages_table(spark, tmp_path):
+    df = generate_pages(spark, 400, seed=7, partitions=4)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "pages"), df)
+    return tbl
+
+
+def test_create_and_scan_roundtrip(spark, pages_table):
+    df = pages_table.scan()
+    assert df.count() == 400
+    assert set(df.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    # schema preserved through metadata
+    assert pages_table.schema() == df.schema
+
+
+def test_append_creates_new_snapshot(spark, pages_table):
+    before = pages_table.current_snapshot()
+    delta = generate_pages(spark, 100, seed=9, partitions=2)
+    snap = pages_table.append(delta)
+    assert snap.parent_id == before.snapshot_id
+    assert pages_table.scan().count() == 500
+    # time travel: old snapshot still readable
+    assert pages_table.scan(snapshot_id=before.snapshot_id).count() == 400
+    assert snap.summary["added_rows"] == 100
+    assert snap.summary["total_rows"] == 500
+
+
+def test_stats_collected_per_file(pages_table):
+    files = pages_table.live_files()
+    assert len(files) == 4
+    for f in files:
+        assert f.row_count > 0
+        assert f.size_bytes > 0
+        assert "url" in f.stats and f.stats["url"]["min"] is not None
+        assert "warc_ts" in f.stats
+        assert isinstance(f.stats["warc_ts"]["min"], int)  # epoch micros
+        assert "html" not in f.stats  # binary skipped
+
+
+def test_predicate_pruning_skips_files(spark, tmp_path):
+    """Files with disjoint warc_ts ranges must be pruned by the planner and
+    the surviving scan must return exactly the rows a full-scan filter does."""
+    base = generate_pages(spark, 300, seed=3, partitions=3)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "t"), base)
+    # appends with disjoint, later time ranges (revision bumps warc_ts +35d)
+    tbl.append(generate_pages(spark, 100, seed=3, partitions=2, revision=2))
+    tbl.append(generate_pages(spark, 100, seed=3, partitions=2, revision=4))
+    assert len(tbl.live_files()) == 7
+
+    cutoff = datetime.datetime(2024, 3, 1)  # after base+rev2, before rev4
+    pred = [Predicate("warc_ts", ">", cutoff)]
+    planned = tbl.planned_files(pred)
+    assert 0 < len(planned) < 7, "pruning must actually skip files"
+
+    got = tbl.scan(pred).count()
+    expected = tbl.scan().filter(F.col("warc_ts") > F.lit(cutoff)).count()
+    assert got == expected > 0
+
+
+def test_string_predicate_pruning(spark, tmp_path):
+    df = generate_pages(spark, 200, seed=5, partitions=2)
+    # write sorted by url so per-file url ranges are narrow
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "s"), df.repartitionByRange(4, "url")
+    )
+    pred = [Predicate("url", ">=", "https://site040")]
+    planned = tbl.planned_files(pred)
+    assert len(planned) < len(tbl.live_files())
+    assert tbl.scan(pred).count() == df.filter(F.col("url") >= "https://site040").count()
+
+
+def test_empty_scan_returns_typed_empty_df(spark, pages_table):
+    pred = [Predicate("warc_ts", ">", datetime.datetime(2999, 1, 1))]
+    df = pages_table.scan(pred)
+    assert df.count() == 0
+    assert df.schema == pages_table.schema()
+
+
+def test_replace_files_copy_on_write(spark, pages_table):
+    files = pages_table.live_files()
+    victim = files[0]
+    remaining = pages_table.scan().filter(F.col("lang") == "xx")  # empty
+    snap = pages_table.replace_files([victim.path], remaining, operation="delete")
+    assert snap.operation == "delete"
+    assert pages_table.scan().count() == 400 - victim.row_count
+    # victim's bytes still on disk (needed by older snapshots until expiry)
+    assert os.path.exists(os.path.join(pages_table.path, victim.path))
+
+
+def test_commit_conflict_on_concurrent_replace(spark, pages_table):
+    """Two writers removing the same file: second must abort (snapshot
+    isolation), an appender must NOT abort (operations compose)."""
+    victim = pages_table.live_files()[0]
+    empty = pages_table.scan().limit(0)
+    pages_table.replace_files([victim.path], empty, operation="replace")
+    with pytest.raises(CommitConflict):
+        pages_table.replace_files([victim.path], empty, operation="replace")
+    # append still fine after the replace
+    pages_table.append(generate_pages(spark, 10, seed=1, partitions=1))
+
+
+def test_commit_cas_retry(spark, pages_table, tmp_path):
+    """Losing the version-file race retries against the new base."""
+    v = pages_table.current_version()
+    # squat the next version file to force one failed CAS
+    squat = pages_table._version_file(v + 1)
+    md = pages_table.load_metadata()
+    with open(squat, "w") as f:
+        json.dump(md, f)
+    snap = pages_table.append(generate_pages(spark, 10, seed=2, partitions=1))
+    assert pages_table.current_version() == v + 2
+    assert snap.summary["added_rows"] == 10
+
+
+def test_datagen_deterministic(spark):
+    a = generate_pages(spark, 50, seed=11, partitions=2).orderBy("url").collect()
+    b = generate_pages(spark, 50, seed=11, partitions=5).orderBy("url").collect()
+    assert a == b, "generation must not depend on partitioning"
+
+
+def test_hot_prefix_skew_exists(spark):
+    df = generate_pages(spark, 2000, seed=42, partitions=4)
+    top = (
+        df.groupBy(F.regexp_extract("url", r"https://(site\d+)", 1).alias("d"))
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    assert top["count"] > 2000 * 0.15, "domain skew is required for salting tests"
