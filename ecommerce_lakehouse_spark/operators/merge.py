@@ -1,0 +1,243 @@
+"""MERGE INTO over Icehouse tables — the reference's signature capability
+(SURVEY §2.6), rebuilt as a copy-on-write rewrite of only the affected files.
+
+Reference parity:
+- SCD1 merge  — ``src/silver/ingest_silver_tables.py:96-107``
+  (update all columns except preserved load-ts, insert new keys)
+- fact merge  — ``src/silver/ingest_silver_tables.py:395-404``
+- partial-update merge — ``src/silver/sessionize_clickstream.py:287-309``
+  (only mutable metric columns updated; open sessions extended)
+- watermark 1-row merge — ``src/silver/sessionize_clickstream.py:318-332``
+
+Execution plan (all Spark DataFrame ops, one snapshot commit):
+
+1. **Candidate pruning** — source key min/max bounds prune target files via
+   manifest stats; at 10^12 docs this is what keeps a MERGE from touching
+   the whole table.
+2. **Affected-file discovery** — candidates ⋈ distinct source keys on
+   ``_metadata.file_path``; the key set is broadcast when small (hybrid
+   broadcast-vs-shuffle strategy, the north_rule's skew-aware join: AQE
+   skew-join splitting handles hot url prefixes on the shuffle path, and an
+   optional explicit salt spreads a pathological hot key deterministically).
+3. **Full-outer merge** of affected-file rows with the source on the key:
+   matched → source values (minus preserved columns), target-only →
+   passthrough, source-only → insert.
+4. **Atomic commit**: replace(affected files → rewritten files + inserts).
+
+Idempotency: merging the same source twice yields identical table state
+(updates are value-identical; inserts match on the second run). Combined with
+the watermark ledger this gives the reference's effectively-once processing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..table.format import IcehouseTable, Snapshot
+from ..table.stats import _norm
+
+# Broadcast the source-key set below this estimated size (matches Spark's
+# default broadcast threshold order of magnitude).
+BROADCAST_KEY_LIMIT = 1_000_000
+
+
+@dataclass
+class MergeResult:
+    snapshot: Snapshot | None
+    rows_updated: int
+    rows_inserted: int
+    rows_rewritten: int
+    files_rewritten: int
+
+
+def _candidate_files(table: IcehouseTable, source: DataFrame, key_cols: list[str]):
+    """Prune target files whose key-range stats cannot overlap the source."""
+    bounds = source.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in key_cols],
+        *[F.max(k).alias(f"hi_{k}") for k in key_cols],
+    ).first()
+    files = table.live_files()
+    out = []
+    for f in files:
+        keep = True
+        for k in key_cols:
+            st = f.stats.get(k)
+            if not st or st.get("min") is None or st.get("max") is None:
+                continue
+            lo = _norm(bounds[f"lo_{k}"], upper=False)
+            hi = _norm(bounds[f"hi_{k}"], upper=False)
+            if lo is None or hi is None:
+                continue
+            try:
+                if st["min"] > hi or st["max"] < lo:
+                    keep = False
+                    break
+            except TypeError:
+                continue
+        if keep:
+            out.append(f)
+    return out
+
+
+def dedup_latest(source: DataFrame, key_cols: list[str], order_col: str,
+                 tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """W1 latest-wins dedup (ingest_silver_tables.py:57-63): one row per key,
+    newest order_col (plus deterministic tie-breaks) survives."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        source.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_into(
+    table: IcehouseTable,
+    source: DataFrame,
+    key_cols: list[str] | str,
+    update_cols: list[str] | None = None,
+    preserve_cols: tuple[str, ...] = (),
+    insert_new: bool = True,
+    delete_matched: bool = False,
+    salt_buckets: int | None = None,
+    target_file_rows: int | None = None,
+) -> MergeResult:
+    """Copy-on-write MERGE of ``source`` into ``table`` on key equality.
+
+    update_cols=None → SCD1/fact semantics (update ALL source columns except
+    ``preserve_cols``); a column list → partial-update semantics (M4);
+    delete_matched=True → MERGE ... WHEN MATCHED DELETE.
+
+    Source must be key-unique (pre-dedup with :func:`dedup_latest`).
+    """
+    spark = table.spark
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    schema = table.schema()
+    tcols = [f.name for f in schema.fields]
+
+    source = source.select(*tcols) if not delete_matched else source
+    candidates = _candidate_files(table, source, keys)
+
+    # --- affected-file discovery -------------------------------------------
+    src_keys = source.select(*keys).distinct()
+    n_src_keys = src_keys.count()
+    if salt_buckets:
+        # Deterministic salt spreads one hot key across buckets for the
+        # discovery join; the probe side is exploded to all bucket values.
+        salted = src_keys.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+        )
+    affected_paths: list[str] = []
+    if candidates:
+        cand_full = [f"{table.path}/{f.path}" for f in candidates]
+        tgt_cand = (
+            spark.read.schema(schema)
+            .parquet(*cand_full)
+            .select(*keys, F.col("_metadata.file_path").alias("__file"))
+        )
+        probe = F.broadcast(src_keys) if n_src_keys <= BROADCAST_KEY_LIMIT else src_keys
+        if salt_buckets and n_src_keys > BROADCAST_KEY_LIMIT:
+            tgt_cand = tgt_cand.withColumn(
+                "__salt", (F.abs(F.hash(*[F.col(k) for k in keys])) % salt_buckets)
+            )
+            probe = salted.withColumn("__salt", F.col("__salt").cast("int"))
+            hit = tgt_cand.join(probe, keys + ["__salt"], "left_semi")
+        else:
+            hit = tgt_cand.join(probe, keys, "left_semi")
+        affected_paths = [
+            r["__file"] for r in hit.select("__file").distinct().collect()
+        ]
+
+    def _to_rel(p: str) -> str:
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        import os
+
+        return os.path.relpath(p, table.path)
+
+    rel_affected = [_to_rel(p) for p in affected_paths]
+    by_rel = {f.path: f for f in candidates}
+    affected_files = [by_rel[r] for r in rel_affected if r in by_rel]
+
+    # --- merge computation ---------------------------------------------------
+    if affected_files:
+        tgt = spark.read.schema(schema).parquet(
+            *[f"{table.path}/{f.path}" for f in affected_files]
+        )
+    else:
+        tgt = spark.createDataFrame([], schema)
+
+    t = tgt.alias("t").withColumn("__t", F.lit(True))
+    s = source.alias("s").withColumn("__s", F.lit(True))
+    cond = [t[k].eqNullSafe(s[k]) for k in keys]
+    joined = t.join(s, cond, "full_outer")
+
+    upd_set = set(update_cols) if update_cols is not None else (
+        set(tcols) - set(keys) - set(preserve_cols)
+    )
+    matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+    out_cols = []
+    for c in tcols:
+        tc, sc = t[c], (s[c] if c in source.columns else F.lit(None))
+        if c in keys:
+            expr = F.coalesce(tc, sc)
+        elif c in upd_set:
+            expr = F.when(matched, sc).when(F.col("__t").isNotNull(), tc).otherwise(sc)
+        else:
+            expr = F.when(F.col("__t").isNotNull(), tc).otherwise(sc)
+        out_cols.append(expr.alias(c))
+
+    joined = joined.persist()
+    flags = joined.select(
+        F.sum(F.when(matched, 1).otherwise(0)).alias("n_upd"),
+        F.sum(F.when(F.col("__s").isNotNull() & F.col("__t").isNull(), 1).otherwise(0)).alias("n_ins"),
+        F.sum(F.when(F.col("__t").isNotNull() & F.col("__s").isNull(), 1).otherwise(0)).alias("n_pass"),
+    ).first()
+    n_upd, n_ins, n_pass = flags.n_upd or 0, flags.n_ins or 0, flags.n_pass or 0
+    if not insert_new or delete_matched:
+        n_ins = 0
+
+    if delete_matched:
+        result = joined.filter(F.col("__t").isNotNull() & F.col("__s").isNull()).select(
+            *[t[c].alias(c) for c in tcols]
+        )
+        n_rows = n_pass
+    elif not insert_new:
+        result = joined.filter(F.col("__t").isNotNull()).select(*out_cols)
+        n_rows = n_upd + n_pass
+    else:
+        result = joined.select(*out_cols)
+        n_rows = n_upd + n_ins + n_pass
+
+    if (n_upd == 0 and n_ins == 0 and not delete_matched) or (
+        delete_matched and n_upd == 0
+    ):
+        joined.unpersist()
+        return MergeResult(None, 0, 0, 0, 0)  # no-op: nothing matched/new
+
+    parts = None
+    if target_file_rows and n_rows:
+        parts = max(1, (n_rows + target_file_rows - 1) // target_file_rows)
+
+    try:
+        snap = table.replace_files(
+            [f.path for f in affected_files],
+            result,
+            operation="merge",
+            target_partitions=parts,
+            extra_summary={
+                "merge_updated": n_upd,
+                "merge_inserted": n_ins,
+                "merge_passthrough": n_pass,
+            },
+        )
+    finally:
+        joined.unpersist()
+    return MergeResult(snap, n_upd, n_ins, n_upd + n_ins + n_pass, len(affected_files))

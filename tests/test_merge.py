@@ -1,0 +1,137 @@
+"""Copy-on-write MERGE INTO: SCD1/fact/partial-update/delete semantics,
+affected-file minimality, idempotency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_spark.datagen import generate_pages, generate_recrawl_delta
+from ecommerce_lakehouse_spark.operators.merge import dedup_latest, merge_into
+from ecommerce_lakehouse_spark.table import IcehouseTable
+
+
+@pytest.fixture()
+def base_table(spark, tmp_path):
+    df = generate_pages(spark, 300, seed=21, partitions=3)
+    # cluster by url so file key-ranges are narrow → pruning is meaningful
+    return IcehouseTable.create(
+        spark, str(tmp_path / "pages"), df.repartitionByRange(6, "url")
+    )
+
+
+def table_state(tbl):
+    return sorted(
+        tbl.scan().select("url", "warc_ts", "text", "lang").collect(),
+        key=lambda r: (r.url, str(r.warc_ts)),
+    )
+
+
+def test_scd1_merge_upsert(spark, base_table):
+    delta = generate_recrawl_delta(spark, base_n=300, n_new=40, n_recrawl=50, seed=21)
+    delta = dedup_latest(delta, ["url"], "warc_ts")
+    res = merge_into(base_table, delta, "url")
+    assert res.rows_updated == 50
+    assert res.rows_inserted == 40
+    assert base_table.scan().count() == 340
+    # updated rows carry the recrawl content
+    rev = base_table.scan().filter(F.col("text").contains("rev1 ")).count()
+    assert rev == 50
+    snap = base_table.current_snapshot()
+    assert snap.operation == "merge"
+    assert snap.summary["merge_updated"] == 50
+
+
+def test_merge_rewrites_only_affected_files(spark, base_table):
+    all_files = {f.path for f in base_table.live_files()}
+    # touch exactly one existing url
+    one = base_table.scan().orderBy("url").limit(1)
+    src = one.withColumn("lang", F.lit("xx"))
+    res = merge_into(base_table, src, "url")
+    assert res.rows_updated == 1 and res.rows_inserted == 0
+    assert res.files_rewritten == 1, "only the file containing the key is rewritten"
+    survivors = {f.path for f in base_table.live_files()}
+    assert len(all_files & survivors) == len(all_files) - 1
+
+
+def test_merge_partial_update(spark, base_table):
+    victim = base_table.scan().orderBy("url").limit(3)
+    src = victim.withColumn("lang", F.lit("qq")).withColumn(
+        "text", F.lit("SHOULD NOT LAND")
+    )
+    merge_into(base_table, src, "url", update_cols=["lang"])
+    got = base_table.scan().filter(F.col("lang") == "qq")
+    assert got.count() == 3
+    assert got.filter(F.col("text") == "SHOULD NOT LAND").count() == 0
+
+
+def test_merge_preserve_cols(spark, base_table):
+    victim = base_table.scan().orderBy("url").limit(2)
+    orig = {r.url: r.warc_ts for r in victim.collect()}
+    src = victim.withColumn("lang", F.lit("zz")).withColumn(
+        "warc_ts", F.expr("warc_ts + interval 99 days")
+    )
+    merge_into(base_table, src, "url", preserve_cols=("warc_ts",))
+    got = base_table.scan().filter(F.col("lang") == "zz").collect()
+    assert len(got) == 2
+    for r in got:
+        assert r.warc_ts == orig[r.url], "preserved column must keep target value"
+
+
+def test_merge_idempotent(spark, base_table):
+    delta = dedup_latest(
+        generate_recrawl_delta(spark, 300, n_new=20, n_recrawl=30, seed=21),
+        ["url"], "warc_ts",
+    )
+    merge_into(base_table, delta, "url")
+    state1 = table_state(base_table)
+    res2 = merge_into(base_table, delta, "url")
+    assert res2.rows_inserted == 0
+    assert table_state(base_table) == state1, "re-run must be value-identical"
+
+
+def test_merge_delete_matched(spark, base_table):
+    victims = base_table.scan().orderBy("url").limit(5).select("url")
+    res = merge_into(base_table, victims, "url", delete_matched=True)
+    assert res.rows_updated == 5  # matched rows (deleted)
+    assert base_table.scan().count() == 295
+    remaining_urls = {r.url for r in base_table.scan().select("url").collect()}
+    assert not ({r.url for r in victims.collect()} & remaining_urls)
+
+
+def test_merge_noop_when_nothing_matches(spark, base_table):
+    src = generate_pages(spark, 5, seed=999, partitions=1).withColumn(
+        "url", F.concat(F.lit("zzz://nowhere/"), F.col("url"))
+    )
+    before = base_table.current_version()
+    res = merge_into(base_table, src, "url", insert_new=False)
+    assert res.snapshot is None
+    assert base_table.current_version() == before, "no-op must not commit"
+
+
+def test_merge_insert_only_into_empty_region(spark, base_table):
+    src = generate_pages(spark, 10, seed=77, partitions=1).withColumn(
+        "url", F.concat(F.lit("zzz://new/"), F.col("url"))
+    )
+    res = merge_into(base_table, src, "url")
+    assert res.rows_inserted == 10 and res.rows_updated == 0
+    assert res.files_rewritten == 0
+    assert base_table.scan().count() == 310
+
+
+def test_merge_salted_discovery(spark, base_table):
+    """Salted path must produce identical results to the plain path."""
+    delta = dedup_latest(
+        generate_recrawl_delta(spark, 300, n_new=10, n_recrawl=20, seed=21),
+        ["url"], "warc_ts",
+    )
+    import ecommerce_lakehouse_spark.operators.merge as m
+
+    old_limit = m.BROADCAST_KEY_LIMIT
+    m.BROADCAST_KEY_LIMIT = 0  # force shuffle path
+    try:
+        res = merge_into(base_table, delta, "url", salt_buckets=4)
+    finally:
+        m.BROADCAST_KEY_LIMIT = old_limit
+    assert res.rows_updated == 20 and res.rows_inserted == 10
+    assert base_table.scan().count() == 310
