@@ -1,0 +1,132 @@
+"""Vectorized space-filling-curve kernels: Morton (Z-order) and Hilbert.
+
+The clustering axes per BASELINE.json: 31-bit url-hash × 31-bit warc_ts.
+The url hash is computed JVM-side with the built-in ``xxhash64`` (stays in
+whole-stage codegen); only the bit-interleave runs in Python — as a
+``pandas_udf`` over numpy uint64 arrays (Arrow batches), never per-row
+(SURVEY §2.10: the engine bans row-at-a-time Python by construction).
+
+31 bits per dimension → 62-bit codes that fit a positive int64, so Spark's
+``repartitionByRange`` orders them correctly without unsigned tricks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+BITS = 31
+MASK31 = np.uint64((1 << BITS) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Morton (bit interleave) — magic-number bit spreading, fully vectorized
+# ---------------------------------------------------------------------------
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each uint64 to even bit positions."""
+    v = v & np.uint64(0xFFFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def morton_interleave(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave two 31-bit coordinate arrays into 62-bit Morton codes."""
+    x = x.astype(np.uint64) & MASK31
+    y = y.astype(np.uint64) & MASK31
+    return _part1by1(x) | (_part1by1(y) << np.uint64(1))
+
+
+# ---------------------------------------------------------------------------
+# Hilbert — iterative xy→d, vectorized rotations (31 rounds of numpy ops)
+# ---------------------------------------------------------------------------
+
+def hilbert_index(x: np.ndarray, y: np.ndarray, bits: int = BITS) -> np.ndarray:
+    """Map 2-D points to their 1-D Hilbert-curve distance (order ``bits``)."""
+    x = x.astype(np.uint64) & np.uint64((1 << bits) - 1)
+    y = y.astype(np.uint64) & np.uint64((1 << bits) - 1)
+    x = x.copy()
+    y = y.copy()
+    d = np.zeros_like(x, dtype=np.uint64)
+    s = np.uint64(1) << np.uint64(bits - 1)
+    one = np.uint64(1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant: if ry==0 { if rx==1 { x,y = s-1-x, s-1-y }; swap }
+        ry0 = ry == 0
+        flip = ry0 & (rx == 1)
+        sm1 = s - one
+        np.subtract(sm1, x, out=x, where=flip)
+        np.subtract(sm1, y, out=y, where=flip)
+        xt = np.where(ry0, y, x)
+        y = np.where(ry0, x, y)
+        x = xt
+        s >>= one
+    return d
+
+
+def hilbert_index_slow(x: int, y: int, bits: int = BITS) -> int:
+    """Scalar reference implementation (Wikipedia xy2d) for kernel tests."""
+    rx = ry = 0
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing pandas UDFs
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def morton_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    codes = morton_interleave(
+        x.fillna(0).to_numpy(np.int64), y.fillna(0).to_numpy(np.int64)
+    )
+    return pd.Series(codes.astype(np.int64))
+
+
+@pandas_udf(LongType())
+def hilbert_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    codes = hilbert_index(
+        x.fillna(0).to_numpy(np.int64), y.fillna(0).to_numpy(np.int64)
+    )
+    return pd.Series(codes.astype(np.int64))
+
+
+def coord31(col: Column, lo: Column | None = None, hi: Column | None = None) -> Column:
+    """Normalize a numeric column into [0, 2^31) JVM-side.
+
+    With lo/hi bounds: min-max scale (for timestamps etc.); without: mask to
+    the low 31 bits (for already-uniform hashes).
+    """
+    if lo is None:
+        return F.pmod(col.cast("long"), F.lit(1 << BITS))
+    span = (hi.cast("double") - lo.cast("double"))
+    frac = (col.cast("double") - lo.cast("double")) / F.when(span > 0, span).otherwise(F.lit(1.0))
+    scaled = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0)) * F.lit(float((1 << BITS) - 1))
+    return scaled.cast("long")
+
+
+def url_hash31(url: Column) -> Column:
+    """31-bit url hash via built-in xxhash64 (JVM, codegen-friendly)."""
+    return F.pmod(F.xxhash64(url), F.lit(1 << BITS))

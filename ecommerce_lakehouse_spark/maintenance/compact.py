@@ -1,0 +1,174 @@
+"""Bin-packing small-file compaction (OPTIMIZE) — the reference's
+planned-but-unbuilt Day-20 work (``PROGRESS.md:163-165``, BRD FR-011/AC-014),
+built from scratch over Icehouse.
+
+Planner: first-fit-decreasing over manifest rows (driver-side — pure
+metadata, no data read), packing files smaller than
+``small_file_ratio * target_file_bytes`` into bins of ≈ target size. Sizing
+counts BYTES, not rows — the html binary column dominates IO (SURVEY §7.3).
+
+Executor: one Spark job per bin, submitted from a thread pool so many bins
+rewrite concurrently (Spark's scheduler interleaves them across cores /
+executors); each finished bin checkpoints its staged output files to the
+JobLedger, so a crashed run resumes exactly where it stopped and re-runs
+adopt completed bins instead of redoing them. One atomic commit swaps all
+bin inputs for outputs at the end.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+from ..table.format import DataFile, IcehouseTable, Snapshot
+from ..table.stats import collect_stats
+from .ledger import JobLedger
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+SMALL_FILE_RATIO = 0.75
+
+
+@dataclass
+class CompactionBin:
+    bin_id: str
+    files: list[DataFile]
+
+    @property
+    def bytes(self) -> int:
+        return sum(f.size_bytes for f in self.files)
+
+    @property
+    def rows(self) -> int:
+        return sum(f.row_count for f in self.files)
+
+
+def plan_compaction(
+    table: IcehouseTable,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    small_file_ratio: float = SMALL_FILE_RATIO,
+    min_bin_files: int = 2,
+) -> list[CompactionBin]:
+    """First-fit-decreasing pack of small files into ≈target-size bins."""
+    threshold = int(target_file_bytes * small_file_ratio)
+    small = sorted(
+        (f for f in table.live_files() if f.size_bytes < threshold),
+        key=lambda f: f.size_bytes,
+        reverse=True,
+    )
+    bins: list[list[DataFile]] = []
+    loads: list[int] = []
+    for f in small:
+        placed = False
+        for i, load in enumerate(loads):
+            if load + f.size_bytes <= target_file_bytes:
+                bins[i].append(f)
+                loads[i] += f.size_bytes
+                placed = True
+                break
+        if not placed:
+            bins.append([f])
+            loads.append(f.size_bytes)
+    out = []
+    for i, files in enumerate(b for b in bins if len(b) >= min_bin_files):
+        files = sorted(files, key=lambda f: f.path)
+        out.append(CompactionBin(bin_id=f"bin{i:05d}", files=files))
+    return out
+
+
+def _rewrite_bin(
+    table: IcehouseTable,
+    b: CompactionBin,
+    target_file_bytes: int,
+    stats_cols: list[str] | None,
+) -> list[DataFile]:
+    """Read one bin's files, rewrite as ceil(bytes/target) files, stage them."""
+    spark = table.spark
+    schema = table.schema()
+    paths = [os.path.join(table.path, f.path) for f in b.files]
+    n_out = max(1, (b.bytes + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.schema(schema).parquet(*paths).coalesce(n_out)
+    staging = os.path.join(table.path, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    moved = []
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            final = os.path.join(
+                table.data_dir, f"compact-{b.bin_id}-{uuid.uuid4().hex[:12]}.parquet"
+            )
+            os.rename(os.path.join(staging, name), final)
+            moved.append(final)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    if stats_cols is None:
+        stats_cols = IcehouseTable._default_stats_cols(schema)
+    collected = collect_stats(spark, moved, stats_cols)
+    return [
+        DataFile(
+            os.path.relpath(c["path"], table.path),
+            c["row_count"],
+            c["size_bytes"],
+            c["stats"],
+        )
+        for c in collected
+    ]
+
+
+def compact(
+    table: IcehouseTable,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    small_file_ratio: float = SMALL_FILE_RATIO,
+    min_bin_files: int = 2,
+    max_concurrency: int = 8,
+    stats_cols: list[str] | None = None,
+) -> Snapshot | None:
+    """Compact small files; returns the new snapshot (None if nothing to do)."""
+    snap = table.current_snapshot()
+    bins = plan_compaction(table, target_file_bytes, small_file_ratio, min_bin_files)
+    if not bins:
+        return None
+    plan_repr = ";".join(f"{b.bin_id}:{','.join(f.path for f in b.files)}" for b in bins)
+    ledger = JobLedger(
+        table.path, JobLedger.job_id_for("compact", snap.snapshot_id, plan_repr)
+    )
+
+    def run_bin(b: CompactionBin) -> tuple[CompactionBin, list[DataFile]]:
+        done = ledger.outputs_of(b.bin_id)
+        if done is not None:  # resume: adopt previously staged outputs
+            return b, done
+        outputs = _rewrite_bin(table, b, target_file_bytes, stats_cols)
+        ledger.complete(
+            b.bin_id,
+            [f.path for f in b.files],
+            outputs,
+            metrics={
+                "input_files": len(b.files),
+                "input_bytes": b.bytes,
+                "output_files": len(outputs),
+                "output_bytes": sum(o.size_bytes for o in outputs),
+                "rows": b.rows,
+            },
+        )
+        return b, outputs
+
+    with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+        results = list(pool.map(run_bin, bins))
+
+    removed = [f.path for b, _ in results for f in b.files]
+    added = [o for _, outs in results for o in outs]
+    commit = table.replace_files(
+        removed,
+        None,
+        operation="compact",
+        precomputed_added=added,
+        extra_summary={
+            "compacted_bins": len(bins),
+            "compacted_input_files": len(removed),
+            "compacted_output_files": len(added),
+            "compacted_bytes": sum(b.bytes for b, _ in results),
+        },
+    )
+    ledger.finish_job({"snapshot_id": commit.snapshot_id, "bins": len(bins)})
+    return commit

@@ -1,0 +1,136 @@
+"""Reference-counted snapshot expiry (VACUUM) — mark-and-sweep over data and
+manifest files (the reference's unbuilt Day-20 VACUUM, ``PROGRESS.md:164``,
+BRD AC-014 / 7-day retention).
+
+Mark: union of files reachable from RETAINED snapshots (manifest-list →
+manifests → data files). Sweep: physically delete data files, manifests and
+manifest lists referenced ONLY by expired snapshots, plus orphaned staging
+leftovers older than a grace period. Metadata is rewritten through the same
+CAS commit path, so expiry is atomic and safe under concurrent readers of
+retained snapshots.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from ..table.format import IcehouseTable, Snapshot
+
+
+@dataclass
+class ExpireResult:
+    expired_snapshots: list[int]
+    deleted_data_files: int
+    deleted_manifests: int
+    freed_bytes: int
+
+
+def expire_snapshots(
+    table: IcehouseTable,
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+    clean_orphans: bool = True,
+    orphan_grace_ms: int = 3_600_000,
+) -> ExpireResult:
+    """Expire all but the newest ``keep_last`` snapshots (and, if given, any
+    snapshot newer than ``older_than_ms`` survives regardless)."""
+    md = table.load_metadata()
+    snaps = [Snapshot.from_json(s) for s in md["snapshots"]]
+    snaps.sort(key=lambda s: s.snapshot_id)
+    if keep_last < 1:
+        raise ValueError("must retain at least the current snapshot")
+
+    retained = snaps[-keep_last:]
+    if older_than_ms is not None:
+        retained = [
+            s for s in snaps if s.timestamp_ms >= older_than_ms or s in retained
+        ]
+    retained_ids = {s.snapshot_id for s in retained}
+    cur = md["current_snapshot_id"]
+    if cur is not None and cur not in retained_ids:
+        raise ValueError("cannot expire the current snapshot")
+    expired = [s for s in snaps if s.snapshot_id not in retained_ids]
+    if not expired:
+        return ExpireResult([], 0, 0, 0)
+
+    # -- mark --------------------------------------------------------------
+    live_data: set[str] = set()
+    live_manifests: set[str] = set()
+    live_lists: set[str] = set()
+    for s in retained:
+        live_lists.add(s.manifest_list)
+        for rel in table.manifests_of(s):
+            live_manifests.add(rel)
+            for f in table._read_manifest(rel):
+                live_data.add(f.path)
+
+    dead_data: set[str] = set()
+    dead_manifests: set[str] = set()
+    dead_lists: set[str] = set()
+    for s in expired:
+        if s.manifest_list not in live_lists:
+            dead_lists.add(s.manifest_list)
+        for rel in table.manifests_of(s):
+            if rel in live_manifests:
+                continue
+            dead_manifests.add(rel)
+            for f in table._read_manifest(rel):
+                if f.path not in live_data:
+                    dead_data.add(f.path)
+
+    # -- commit new metadata (CAS) before sweeping bytes --------------------
+    for _ in range(10):
+        version = table.current_version()
+        md = table.load_metadata(version)
+        md["snapshots"] = [
+            s for s in md["snapshots"] if s["snapshot_id"] in retained_ids
+            or s["snapshot_id"] > max(e.snapshot_id for e in expired)
+        ]
+        if table._try_publish(version + 1, md):
+            break
+    else:
+        from ..table.format import CommitConflict
+
+        raise CommitConflict("expire: lost commit race repeatedly")
+
+    # -- sweep ---------------------------------------------------------------
+    freed = 0
+    deleted_data = 0
+    for rel in dead_data:
+        p = os.path.join(table.path, rel)
+        if os.path.exists(p):
+            freed += os.path.getsize(p)
+            os.unlink(p)
+            deleted_data += 1
+    deleted_manifests = 0
+    for rel in dead_manifests | dead_lists:
+        p = os.path.join(table.path, rel)
+        if os.path.exists(p):
+            os.unlink(p)
+            deleted_manifests += 1
+
+    if clean_orphans:
+        _sweep_orphans(table, live_data, time.time() * 1000 - orphan_grace_ms)
+
+    return ExpireResult(
+        [s.snapshot_id for s in expired], deleted_data, deleted_manifests, freed
+    )
+
+
+def _sweep_orphans(table: IcehouseTable, live_data: set[str], cutoff_ms: float):
+    """Delete staged data files no snapshot references (failed/abandoned
+    writes) once they're older than the grace period."""
+    if not os.path.isdir(table.data_dir):
+        return
+    for name in os.listdir(table.data_dir):
+        rel = os.path.join("data", name)
+        if rel in live_data:
+            continue
+        p = os.path.join(table.data_dir, name)
+        try:
+            if os.path.getmtime(p) * 1000 < cutoff_ms:
+                os.unlink(p)
+        except OSError:
+            pass

@@ -1,0 +1,97 @@
+"""Z-order / Hilbert clustering rewrite (the reference's unbuilt
+OPTIMIZE ... ZORDER BY — ``PROGRESS.md:163``, BRD FR-011 "liquid clustering").
+
+Pipeline (BASELINE north_star, stage by stage):
+
+1. JVM-side coordinates: ``xxhash64(url)`` masked to 31 bits (stays in
+   whole-stage codegen) × ``warc_ts`` min-max-scaled to 31 bits using the
+   TABLE'S OWN MANIFEST STATS for the bounds (no extra scan).
+2. Vectorized pandas/Arrow UDF interleaves the two coordinate arrays into a
+   62-bit Morton or Hilbert code (functions/zorder_kernel.py) — the only
+   Python in the job, and it's numpy-vectorized.
+3. ``repartitionByRange(n, code)`` range-shuffles rows into N output files of
+   ≈ target size, ``sortWithinPartitions(code)`` orders inside each file so
+   parquet row-group stats are tight too.
+4. Copy-on-write commit replaces the clustered files; per-file min/max of
+   BOTH axes land in the manifests, so subsequent scans prune on either
+   dimension (url ranges AND time ranges).
+
+At cluster scale the range shuffle is the dominant cost; AQE handles skewed
+code ranges (a hot domain's pages share url-hash prefixes, but the 31-bit
+hash spreads them; residual skew is handled by range-partition boundaries
+computed from a sample, which is exactly what repartitionByRange does).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from ..functions.zorder_kernel import coord31, hilbert_udf, morton_udf, url_hash31
+from ..table.format import IcehouseTable, Snapshot
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _ts_bounds_from_stats(table: IcehouseTable, ts_col: str) -> tuple[int, int]:
+    """min/max epoch-us of ts_col across live files, straight from manifests."""
+    lo, hi = None, None
+    for f in table.live_files():
+        st = f.stats.get(ts_col)
+        if not st:
+            continue
+        if st.get("min") is not None:
+            lo = st["min"] if lo is None else min(lo, st["min"])
+        if st.get("max") is not None:
+            hi = st["max"] if hi is None else max(hi, st["max"])
+    if lo is None or hi is None:
+        raise ValueError(f"no stats for {ts_col}; cannot scale coordinates")
+    return lo, hi
+
+
+def zorder_by(
+    table: IcehouseTable,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    curve: str = "morton",
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    snapshot_scope: list | None = None,
+) -> Snapshot:
+    """Rewrite the whole table clustered by curve(url-hash, warc_ts)."""
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r}")
+    kernel = morton_udf if curve == "morton" else hilbert_udf
+
+    files = table.live_files()
+    total_bytes = sum(f.size_bytes for f in files)
+    n_out = max(1, (total_bytes + target_file_bytes - 1) // target_file_bytes)
+
+    lo_us, hi_us = _ts_bounds_from_stats(table, ts_col)
+    lo = datetime.datetime.utcfromtimestamp(lo_us / 1e6)
+    hi = datetime.datetime.utcfromtimestamp(hi_us / 1e6)
+
+    df = table.scan()
+    x = url_hash31(F.col(url_col))
+    y = coord31(
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        lo=F.unix_micros(F.lit(lo).cast("timestamp")),
+        hi=F.unix_micros(F.lit(hi).cast("timestamp")),
+    )
+    coded = df.withColumn("__zcode", kernel(x, y))
+    clustered = (
+        coded.repartitionByRange(n_out, "__zcode")
+        .sortWithinPartitions("__zcode")
+        .drop("__zcode")
+    )
+    return table.replace_files(
+        [f.path for f in files],
+        clustered,
+        operation=f"cluster-{curve}",
+        extra_summary={
+            "cluster_curve": curve,
+            "cluster_files_in": len(files),
+            "cluster_files_out": n_out,
+            "cluster_bytes": total_bytes,
+        },
+    )

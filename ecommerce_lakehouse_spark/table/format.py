@@ -167,17 +167,33 @@ class IcehouseTable:
         os.rename(full + ".tmp", full)
         return rel
 
-    def _write_manifest_list(self, manifest_rels: list[str]) -> str:
+    def _write_manifest_list(self, entries: list[dict]) -> str:
+        """entries: [{path, n_files, n_rows, n_bytes}] — per-manifest rollups
+        let commits compute snapshot summaries without reading manifests."""
         rel = f"manifests/manifest-list-{uuid.uuid4().hex}.json"
         full = os.path.join(self.path, rel)
         with open(full + ".tmp", "w") as f:
-            json.dump({"manifests": manifest_rels}, f)
+            json.dump({"manifests": entries}, f)
         os.rename(full + ".tmp", full)
         return rel
 
-    def manifests_of(self, snapshot: Snapshot) -> list[str]:
+    def manifest_entries_of(self, snapshot: Snapshot) -> list[dict]:
         with open(os.path.join(self.path, snapshot.manifest_list)) as f:
-            return json.load(f)["manifests"]
+            raw = json.load(f)["manifests"]
+        # tolerate both rollup dicts and bare path strings
+        return [e if isinstance(e, dict) else {"path": e} for e in raw]
+
+    def manifests_of(self, snapshot: Snapshot) -> list[str]:
+        return [e["path"] for e in self.manifest_entries_of(snapshot)]
+
+    @staticmethod
+    def _manifest_entry(rel: str, files: list[DataFile]) -> dict:
+        return {
+            "path": rel,
+            "n_files": len(files),
+            "n_rows": sum(f.row_count for f in files),
+            "n_bytes": sum(f.size_bytes for f in files),
+        }
 
     def live_files(self, snapshot: Snapshot | None = None) -> list[DataFile]:
         snap = snapshot or self.current_snapshot()
@@ -254,11 +270,17 @@ class IcehouseTable:
         max_retries: int = 10,
         extra_summary: dict | None = None,
     ) -> Snapshot:
-        """Optimistic commit with rebase-and-retry."""
+        """Optimistic commit with rebase-and-retry.
+
+        Manifests are incremental (Iceberg-style): an append adds ONE new
+        manifest and reuses the parent's untouched; a replace rewrites only
+        the manifests that reference removed files. Commit metadata cost is
+        O(files touched), not O(table) — mandatory at 10^12-doc scale.
+        """
         for _attempt in range(max_retries):
             version = self.current_version()
             if version == 0:
-                base_files: list[DataFile] = []
+                base_entries: list[dict] = []
                 md = {
                     "format_version": 1,
                     "table_uuid": uuid.uuid4().hex,
@@ -275,34 +297,51 @@ class IcehouseTable:
                 snap = next(
                     (s for s in md["snapshots"] if s["snapshot_id"] == cur), None
                 )
-                base_files = (
-                    self.live_files(Snapshot.from_json(snap)) if snap else []
+                base_entries = (
+                    self.manifest_entries_of(Snapshot.from_json(snap)) if snap else []
                 )
                 if schema_json is not None:
                     md["schema"] = schema_json
                 if properties:
                     md["properties"] = {**md.get("properties", {}), **properties}
-            live_paths = {f.path for f in base_files}
-            if removed_paths - live_paths:
+
+            remaining = set(removed_paths)
+            new_entries: list[dict] = []
+            for entry in base_entries:
+                if not remaining:
+                    new_entries.append(entry)
+                    continue
+                mf_files = self._read_manifest(entry["path"])
+                hits = [f for f in mf_files if f.path in remaining]
+                if not hits:
+                    new_entries.append(entry)
+                    continue
+                remaining -= {f.path for f in hits}
+                kept = [f for f in mf_files if f.path not in removed_paths]
+                if kept:
+                    rel = self._write_manifest(kept)
+                    new_entries.append(self._manifest_entry(rel, kept))
+            if remaining:
                 # Rebase impossible: another writer already rewrote/removed
                 # files this operation depends on — snapshot isolation says abort.
                 raise CommitConflict(
-                    f"{operation}: files no longer live: "
-                    f"{sorted(removed_paths - live_paths)[:3]}..."
+                    f"{operation}: files no longer live: {sorted(remaining)[:3]}..."
                 )
-            new_files = [f for f in base_files if f.path not in removed_paths] + added
-            snapshot_id = (parent or 0) + 1 if parent else version + 1
-            snapshot_id = max(snapshot_id, version + 1)
-            manifest_rel = self._write_manifest(new_files)
-            manifest_list_rel = self._write_manifest_list([manifest_rel])
+            if added:
+                rel = self._write_manifest(added)
+                new_entries.append(self._manifest_entry(rel, added))
+
+            snapshot_id = version + 1
+            manifest_list_rel = self._write_manifest_list(new_entries)
             summary = {
                 "added_files": len(added),
                 "added_rows": sum(f.row_count for f in added),
                 "added_bytes": sum(f.size_bytes for f in added),
                 "removed_files": len(removed_paths),
-                "total_files": len(new_files),
-                "total_rows": sum(f.row_count for f in new_files),
-                "total_bytes": sum(f.size_bytes for f in new_files),
+                "total_files": sum(e.get("n_files", 0) for e in new_entries),
+                "total_rows": sum(e.get("n_rows", 0) for e in new_entries),
+                "total_bytes": sum(e.get("n_bytes", 0) for e in new_entries),
+                "total_manifests": len(new_entries),
                 **(extra_summary or {}),
             }
             snap_obj = Snapshot(

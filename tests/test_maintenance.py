@@ -1,0 +1,254 @@
+"""Maintenance suite: compaction, Z-order/Hilbert clustering, snapshot
+expiry, manifest rewrite, resumable ledger. North-rule invariants: identical
+row sets before/after every maintenance op; pruning improves; resume works."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_spark.datagen import generate_pages
+from ecommerce_lakehouse_spark.functions.zorder_kernel import (
+    hilbert_index,
+    hilbert_index_slow,
+    morton_interleave,
+)
+from ecommerce_lakehouse_spark.maintenance import (
+    JobLedger,
+    compact,
+    expire_snapshots,
+    plan_compaction,
+    rewrite_manifests,
+    zorder_by,
+)
+from ecommerce_lakehouse_spark.table import IcehouseTable, Predicate
+
+
+def table_rows(tbl, snapshot_id=None):
+    return sorted(
+        (r.url, str(r.warc_ts), r.text, r.lang)
+        for r in tbl.scan(snapshot_id=snapshot_id).collect()
+    )
+
+
+@pytest.fixture()
+def fragmented_table(spark, tmp_path):
+    """A table with many small files: 5 appends x 4 partitions."""
+    tbl = None
+    for i in range(5):
+        df = generate_pages(spark, 120, seed=31 + i, partitions=4, revision=i)
+        if tbl is None:
+            tbl = IcehouseTable.create(spark, str(tmp_path / "frag"), df)
+        else:
+            tbl.append(df)
+    return tbl
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def test_morton_kernel_reference_values():
+    x = np.array([0, 1, 0, 1, 0b101], dtype=np.int64)
+    y = np.array([0, 0, 1, 1, 0b011], dtype=np.int64)
+    got = morton_interleave(x, y)
+    # interleave(x=101, y=011) = y2x2 y1x1 y0x0 = 01 10 11 = 0b011011 = 27
+    assert list(got) == [0, 1, 2, 3, 0b011011]
+
+
+def test_morton_locality():
+    """Adjacent points map to nearby codes more often than random pairs."""
+    x = np.arange(1000, dtype=np.int64)
+    z_row = morton_interleave(x, np.zeros_like(x))
+    assert (np.diff(z_row.astype(np.int64)) > 0).all(), "monotone along an axis"
+
+
+def test_hilbert_matches_slow_reference():
+    rng = np.random.RandomState(7)
+    for bits in (2, 4, 8, 16):
+        n = 200
+        x = rng.randint(0, 1 << bits, n).astype(np.int64)
+        y = rng.randint(0, 1 << bits, n).astype(np.int64)
+        fast = hilbert_index(x, y, bits)
+        slow = np.array([hilbert_index_slow(int(a), int(b), bits) for a, b in zip(x, y)])
+        assert (fast.astype(np.int64) == slow).all()
+
+
+def test_hilbert_is_bijective_small_grid():
+    bits = 4
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    d = hilbert_index(xs.ravel().astype(np.int64), ys.ravel().astype(np.int64), bits)
+    assert sorted(d.tolist()) == list(range(256))
+
+
+# ------------------------------------------------------------- compaction
+
+
+def test_compaction_packs_small_files(spark, fragmented_table):
+    tbl = fragmented_table
+    before_rows = table_rows(tbl)
+    n_before = len(tbl.live_files())
+    assert n_before == 20
+    snap = compact(tbl, target_file_bytes=64 * 1024 * 1024)
+    assert snap is not None and snap.operation == "compact"
+    n_after = len(tbl.live_files())
+    assert n_after < n_before
+    assert table_rows(tbl) == before_rows, "compaction must not change data"
+    # second run: nothing (or strictly less) left to do
+    again = compact(tbl, target_file_bytes=64 * 1024 * 1024)
+    assert again is None or len(tbl.live_files()) <= n_after
+
+
+def test_compaction_plan_respects_target(spark, fragmented_table):
+    bins = plan_compaction(fragmented_table, target_file_bytes=200_000)
+    assert bins, "fragmented table must produce bins"
+    for b in bins:
+        assert len(b.files) >= 2
+        assert b.bytes <= 200_000 or len(b.files) == 1
+
+
+def test_compaction_ledger_resume(spark, fragmented_table, monkeypatch):
+    """Crash after some bins: re-run adopts completed bins from the ledger
+    instead of rewriting them (resumable mid-rewrite, north_rule)."""
+    tbl = fragmented_table
+    import sys
+
+    import ecommerce_lakehouse_spark.maintenance.compact  # noqa: F401
+
+    C = sys.modules["ecommerce_lakehouse_spark.maintenance.compact"]
+    calls = {"n": 0}
+    real = C._rewrite_bin
+
+    def exploding(table, b, target, cols):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash")
+        return real(table, b, target, cols)
+
+    monkeypatch.setattr(C, "_rewrite_bin", exploding)
+    with pytest.raises(RuntimeError):
+        compact(tbl, target_file_bytes=150_000, max_concurrency=1)
+    done_units = calls["n"] - 1
+
+    monkeypatch.setattr(C, "_rewrite_bin", real)
+    before_rows = table_rows(tbl)
+    rewrites_before_resume = calls["n"]
+    snap = compact(tbl, target_file_bytes=150_000, max_concurrency=1)
+    assert snap is not None
+    assert table_rows(tbl) == before_rows
+    # ledger adopted the completed bins: they were not rewritten again
+    ledger_dir = os.path.join(tbl.path, "ledger")
+    jobs = os.listdir(ledger_dir)
+    assert any(j.startswith("compact-") for j in jobs)
+    assert done_units >= 1
+
+
+# ------------------------------------------------------------- clustering
+
+
+@pytest.mark.parametrize("curve", ["morton", "hilbert"])
+def test_cluster_preserves_rows_and_improves_pruning(spark, tmp_path, curve):
+    df = generate_pages(spark, 1500, seed=13, partitions=6)
+    tbl = IcehouseTable.create(spark, str(tmp_path / f"z_{curve}"), df)
+    before_rows = table_rows(tbl)
+    n_files_before = len(tbl.live_files())
+
+    # small target → several output files so pruning is observable
+    total = sum(f.size_bytes for f in tbl.live_files())
+    snap = zorder_by(tbl, curve=curve, target_file_bytes=max(1, total // 8))
+    assert snap.operation == f"cluster-{curve}"
+    assert table_rows(tbl) == before_rows, "clustering must not change data"
+
+    files = tbl.live_files()
+    assert len(files) >= 4
+    # a timestamp slice must now skip files (before clustering, every append
+    # had full ts coverage → no pruning possible within one revision)
+    mid = datetime.datetime(2023, 11, 29)
+    planned = tbl.planned_files([Predicate("warc_ts", ">", mid)])
+    assert len(planned) < len(files), f"{curve}: ts pruning should skip files"
+    # url-range pruning also works post-cluster
+    planned_url = tbl.planned_files([Predicate("url", ">=", "https://site040")])
+    assert len(planned_url) <= len(files)
+    got = tbl.scan([Predicate("warc_ts", ">", mid)]).count()
+    want = tbl.scan().filter(F.col("warc_ts") > F.lit(mid)).count()
+    assert got == want > 0
+
+
+def test_zorder_plan_has_no_row_python_except_kernel(spark, tmp_path):
+    """The clustering plan's only Python is the ArrowEvalPython kernel —
+    never BatchEvalPython (per-row UDF), per SURVEY §2.10."""
+    df = generate_pages(spark, 100, seed=1, partitions=2)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "zp"), df)
+    from ecommerce_lakehouse_spark.functions.zorder_kernel import (
+        coord31,
+        morton_udf,
+        url_hash31,
+    )
+
+    coded = tbl.scan().withColumn(
+        "__z",
+        morton_udf(
+            url_hash31(F.col("url")),
+            coord31(F.unix_micros(F.col("warc_ts").cast("timestamp"))),
+        ),
+    )
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+# ----------------------------------------------------------------- expiry
+
+
+def test_expire_snapshots_sweeps_unreferenced(spark, fragmented_table):
+    tbl = fragmented_table
+    compact(tbl, target_file_bytes=64 * 1024 * 1024)
+    all_data = set(os.listdir(os.path.join(tbl.path, "data")))
+    live = {os.path.basename(f.path) for f in tbl.live_files()}
+    assert all_data - live, "pre-expiry: old snapshot files still on disk"
+
+    rows_before = table_rows(tbl)
+    res = expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)
+    assert res.expired_snapshots
+    assert res.deleted_data_files > 0 and res.freed_bytes > 0
+    assert table_rows(tbl) == rows_before, "current snapshot untouched"
+    remaining = set(os.listdir(os.path.join(tbl.path, "data")))
+    assert remaining == live, "exactly the live files remain"
+    assert len(tbl.snapshots()) == 1
+
+
+def test_expire_refuses_current(spark, fragmented_table):
+    with pytest.raises(ValueError):
+        expire_snapshots(fragmented_table, keep_last=0)
+
+
+def test_expire_shared_files_survive(spark, tmp_path):
+    """Files shared between retained and expired snapshots must survive
+    (reference counting, not naive per-snapshot delete)."""
+    df = generate_pages(spark, 100, seed=2, partitions=2)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "sh"), df)
+    tbl.append(generate_pages(spark, 50, seed=3, partitions=1))  # snap 2
+    tbl.append(generate_pages(spark, 50, seed=4, partitions=1))  # snap 3
+    # snap 1&2's files are all still live in snap 3
+    res = expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)
+    assert res.deleted_data_files == 0
+    assert tbl.scan().count() == 200
+
+
+# ------------------------------------------------------- manifest rewrite
+
+
+def test_rewrite_manifests_consolidates(spark, fragmented_table):
+    tbl = fragmented_table
+    snap = tbl.current_snapshot()
+    n_manifests = len(tbl.manifests_of(snap))
+    assert n_manifests == 5, "one manifest per append"
+    rows_before = table_rows(tbl)
+    new = rewrite_manifests(tbl, target_entries=1000, sort_by_stat="url")
+    assert new.operation == "rewrite-manifests"
+    assert len(tbl.manifests_of(new)) == 1
+    assert table_rows(tbl) == rows_before
+    assert new.summary["manifests_before"] == 5
