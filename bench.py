@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], plus the maintenance pipeline (MERGE, compaction,
+Z-order, manifest rewrite, snapshot expiry) over a deterministic synthetic
+pages table. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "maintenance": {...}}
+
+Extra keys (maintenance GB/h + rows/s, env) are informational; the driver
+reads metric/value/unit/queries/sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages-table size for the maintenance bench; scaled for a few-minute run
+N_PAGES = int(os.environ.get("BENCH_PAGES", "60000"))
+
+HEADLINE = [
+    "sessionize",
+    "watermark_scan",
+    "daily_sales_summary",
+    "interval_join_pit",
+    "affected_keys_reagg",
+    "topk_rank",
+    "ltv_segments",
+    "hourly_traffic",
+    "dedup_latest_wins",
+    "scd2_window_chain",
+]
+
+
+def _run(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from ecommerce_lakehouse_spark.queries import REGISTRY
+    from ecommerce_lakehouse_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        entry = REGISTRY.get(name)
+        if entry is None:
+            continue
+        fn = entry[0]
+        fn(spark, SF_DIR).count()  # warm file listing/footer caches once
+        t0 = time.time()
+        _run(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # ---------------- maintenance pipeline bench --------------------------
+    from ecommerce_lakehouse_spark.datagen import generate_pages, generate_recrawl_delta
+    from ecommerce_lakehouse_spark.maintenance import (
+        compact,
+        expire_snapshots,
+        rewrite_manifests,
+        zorder_by,
+    )
+    from ecommerce_lakehouse_spark.operators.merge import dedup_latest, merge_into
+    from ecommerce_lakehouse_spark.table import IcehouseTable
+
+    work = tempfile.mkdtemp(prefix="bench-pages-")
+    maint: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        tbl = IcehouseTable.create(
+            spark, f"{work}/pages",
+            generate_pages(spark, N_PAGES, seed=42, partitions=CPUS * 2),
+        )
+        maint["build_sec"] = round(time.time() - t0, 3)
+        table_bytes = sum(f.size_bytes for f in tbl.live_files())
+
+        # MERGE: 20% recrawls + 10% new urls
+        delta = dedup_latest(
+            generate_recrawl_delta(
+                spark, N_PAGES, n_new=N_PAGES // 10, n_recrawl=N_PAGES // 5,
+                seed=42, partitions=CPUS,
+            ),
+            ["url"], "warc_ts",
+        )
+        n_delta = N_PAGES // 10 + N_PAGES // 5
+        t0 = time.time()
+        merge_into(tbl, delta, "url", target_file_rows=N_PAGES // CPUS)
+        merge_sec = time.time() - t0
+        maint["merge_sec"] = round(merge_sec, 3)
+        maint["merge_rows_per_sec"] = round(n_delta / merge_sec, 1)
+
+        # compact small files
+        t0 = time.time()
+        compact(tbl, target_file_bytes=64 * 1024 * 1024, max_concurrency=CPUS)
+        compact_sec = time.time() - t0
+        maint["compact_sec"] = round(compact_sec, 3)
+
+        # Z-order cluster the whole table
+        gb = sum(f.size_bytes for f in tbl.live_files()) / 1e9
+        t0 = time.time()
+        zorder_by(tbl, curve="morton", target_file_bytes=16 * 1024 * 1024)
+        z_sec = time.time() - t0
+        maint["zorder_sec"] = round(z_sec, 3)
+        maint["compact_zorder_gb_per_hour"] = round(
+            (table_bytes / 1e9 + gb) / ((compact_sec + z_sec) / 3600.0), 2
+        )
+
+        t0 = time.time()
+        rewrite_manifests(tbl)
+        expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)
+        maint["metadata_maintenance_sec"] = round(time.time() - t0, 3)
+        maint["table_gb"] = round(table_bytes / 1e9, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    for k in ("merge_sec", "compact_sec", "zorder_sec"):
+        if k in maint:
+            timings[f"maintenance_{k[:-4]}"] = maint[k]
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + maintenance pipeline wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "maintenance": maint,
+                "cpus": CPUS,
+                "n_pages": N_PAGES,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Design for 10^12 docs:
+- exact dedup = hash-groupBy (one shuffle on a 32-byte key, combiner-friendly);
+- MinHash/LSH = shingle → per-permutation min-hash → band keys → self-join on
+  (band, key): candidates only ever meet inside a band bucket, so the join is
+  an equi-join Catalyst executes as a shuffled hash join — never an O(n²)
+  cross product;
+- SimHash = per-token hashes aggregated bitwise, near-dups via band-exact
+  match on hash prefix/suffix blocks;
+- verification joins (exact Jaccard on candidates) touch only candidate pairs.
+
+Hash choice: md5 (hex string) — deliberately, because it exists with
+identical semantics in Spark AND DuckDB, making every stage oracle-checkable.
+A 'permutation' is md5 prefixed with a seed; the min is taken
+LEXICOGRAPHICALLY over the hex strings, a valid uniform min-hash.
+At production scale you'd swap in xxhash64 for speed; the structure (and the
+shuffle shape) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, sql_shingles, sql_tokens, tokens
+
+N_PERMS = 8
+BAND_SIZE = 2  # 8 perms / 2 = 4 bands; P(candidate) = 1-(1-j^2)^4
+
+
+# ----------------------------------------------------------------- exact
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse non-alnum runs."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def sql_normalize_text(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one group per canonical text, with the
+    deterministic representative (min id) and the duplicate count."""
+    return (
+        df.withColumn("content_hash", F.md5(normalize_text(F.col(text_col))))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("representative_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------- MinHash
+
+def minhash_signature(col: Column, n_perms: int = N_PERMS) -> list[Column]:
+    """n_perms independent min-hashes of the shingle set (lexicographic min
+    of seeded md5 — order-independent, associative, combiner-friendly)."""
+    sh = shingles(col)
+
+    def _seeded(i):  # closure factory — a default arg would turn the lambda
+        return lambda s: F.md5(F.concat(F.lit(f"p{i}|"), s))  # into (elem, idx)
+
+    return [
+        F.array_min(F.transform(sh, _seeded(i))).alias(f"mh{i}")
+        for i in range(n_perms)
+    ]
+
+
+def sql_minhash_signature(expr: str, n_perms: int = N_PERMS) -> list[str]:
+    sh = sql_shingles(expr)
+    return [
+        f"list_min(list_transform({sh}, s -> md5('p{i}|' || s))) AS mh{i}"
+        for i in range(n_perms)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_perms: int = N_PERMS,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 MinHash band bucket.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct.
+    """
+    sig = df.select(F.col(id_col).alias("__id"), *minhash_signature(F.col(text_col), n_perms))
+    n_bands = n_perms // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sig.select(
+                "__id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    exploded = bands[0]
+    for b in bands[1:]:
+        exploded = exploded.unionByName(b)
+    left = exploded.select(
+        F.col("band"), F.col("bucket"), F.col("__id").alias("id_a")
+    )
+    right = exploded.select(
+        F.col("band"), F.col("bucket"), F.col("__id").alias("id_b")
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    explode(shingles) → self-join on shingle → |A∩B| per pair → J =
+    |A∩B| / (|A|+|B|-|A∩B|). The shingle join bounds the pair space to
+    documents with actual overlap (inverted-index pattern).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col)).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = base.select("__id", "n_sh", F.explode("sh").alias("s"))
+    a = ex.select(
+        F.col("__id").alias("id_a"), F.col("n_sh").alias("na"), F.col("s")
+    )
+    b = ex.select(
+        F.col("__id").alias("id_b"), F.col("n_sh").alias("nb"), F.col("s")
+    )
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("n_inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_inter", "jaccard"
+    )
+
+
+def sql_jaccard_pairs(table: str, text_col: str, id_col: str, threshold: float) -> str:
+    sh = sql_shingles(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS __id, {sh} AS sh, len({sh}) AS n_sh FROM {table}
+), ex AS (
+  SELECT __id, n_sh, unnest(sh) AS s FROM base
+), inter AS (
+  SELECT a.__id AS id_a, b.__id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.__id < b.__id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 16  # oracle-checkable width; production would use 64
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Charikar SimHash over tokens: per-token hash votes ±1 on each bit.
+
+    Token hash = first 4 hex chars of md5 (16 bits), identical in DuckDB.
+    """
+    toks = tokens(col)
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"))
+    def _vote(i):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        votes = F.aggregate(th, F.lit(0).cast("long"), _vote(i))
+        out = out + F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def sql_simhash(expr: str, bits: int = SIMHASH_BITS) -> str:
+    toks = sql_tokens(expr)
+    th = f"list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 4))::BIGINT)"
+    terms = []
+    for i in range(bits):
+        votes = (
+            f"list_sum(list_transform({th}, "
+            f"h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN {votes} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Popcount of XOR for 16-bit simhashes (bit_count is built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ------------------------------------------------- embedding cosine dedup
+
+def cosine_near_dup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (brute force — the exactness baseline;
+    the LSH-bucketed scale path lives in functions/similarity.py)."""
+    from .similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

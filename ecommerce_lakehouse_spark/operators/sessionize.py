@@ -1,0 +1,112 @@
+"""Gap-based sessionization + affected-key incremental recomputation —
+the reference's silver/gold incremental layer as reusable operators.
+
+- ``sessionize``: LAG gap detection → running-sum numbering → deterministic
+  md5 session ids → per-session aggregates
+  (``src/silver/sessionize_clickstream.py:153-251``; T5: deliberately the
+  batch LAG formulation, NOT ``F.session_window`` — re-runs are
+  deterministic and open sessions stay mutable, which is what lets the
+  sessions MERGE extend them [M4]).
+- ``affected_keys``/``recompute_affected``: late-data pattern (T6/J5) —
+  incremental slice → distinct keys → broadcast semi-join pulls every row of
+  the affected grain → exact re-aggregate of just that grain
+  (``daily_sales_summary.py:30-42``, ``hourly_traffic_metrics.py:70-93``).
+
+Skew note: the distinct-key side is small by construction → broadcast; the
+big side never shuffles for the semi-join. The session window shuffles once
+on the entity key; AQE skew-split handles hot entities.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_GAP_SECONDS = 1800  # 30-minute inactivity window (BRD FR-010)
+
+
+def _us(col: Column) -> Column:
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def with_session_ids(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Assign deterministic session ids: md5(entity ‖ running session number)
+    (``sessionize_clickstream.py:207-210`` — determinism ⇒ idempotent MERGE)."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = gap_seconds * 1_000_000
+    prev = F.lag(ts_col).over(w)
+    flagged = events.withColumn(
+        "__is_start",
+        F.when(prev.isNull() | ((_us(F.col(ts_col)) - _us(prev)) > gap_us), 1).otherwise(0),
+    )
+    return (
+        flagged.withColumn("__session_num", F.sum("__is_start").over(wrun))
+        .withColumn(
+            "session_id",
+            F.md5(F.concat_ws("_", F.col(entity_col), F.col("__session_num"))),
+        )
+        .drop("__is_start", "__session_num")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    event_type_col: str | None = None,
+    conversion_type: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Full session rollup matching clickstream_sessions
+    (``sessionize_clickstream.py:224-251``)."""
+    s = with_session_ids(events, entity_col, ts_col, gap_seconds, tiebreak_col)
+    aggs = [
+        F.to_date(F.min(ts_col)).alias("session_date"),
+        F.min(ts_col).alias("first_event_ts"),
+        F.max(ts_col).alias("last_event_ts"),
+        F.expr(
+            f"(unix_micros(cast(max({ts_col}) as timestamp)) - "
+            f"unix_micros(cast(min({ts_col}) as timestamp))) div 1000000"
+        ).alias("session_duration_secs"),
+        F.count("*").alias("event_count"),
+    ]
+    if event_type_col and conversion_type:
+        conv = F.sum(
+            F.when(F.col(event_type_col) == conversion_type, 1).otherwise(0)
+        )
+        aggs += [
+            conv.alias("conversion_count"),
+            (conv > 0).alias("converted"),
+        ]
+    return s.groupBy(entity_col, "session_id").agg(*aggs)
+
+
+def affected_keys(incremental: DataFrame, key_cols: list[str] | str) -> DataFrame:
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return incremental.select(*keys).distinct()
+
+
+def recompute_affected(
+    full: DataFrame,
+    incremental: DataFrame,
+    key_cols: list[str] | str,
+    aggregate: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Re-aggregate ONLY the grain touched by the incremental slice: the
+    distinct affected keys are broadcast into a semi-join against the full
+    table, then ``aggregate`` runs over exactly those groups."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    scoped = full.join(F.broadcast(affected_keys(incremental, keys)), keys, "inner")
+    return aggregate(scoped)

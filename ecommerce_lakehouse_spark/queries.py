@@ -679,3 +679,8 @@ REGISTRY: dict = {
     "md5_surrogate": (q_md5_surrogate, SQL_MD5_SURROGATE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
 }
+
+# Training-data pipeline operators (dedup / similarity / text / multimodal)
+from .queries_ml import ML_REGISTRY  # noqa: E402
+
+REGISTRY.update(ML_REGISTRY)
