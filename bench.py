@@ -52,6 +52,9 @@ def main() -> None:
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    from ecommerce_lakehouse_spark.session import warm_python_workers
+
+    warm_python_workers(spark, CPUS)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -87,13 +90,17 @@ def main() -> None:
         table_bytes = sum(f.size_bytes for f in tbl.live_files())
 
         # MERGE: 20% recrawls + 10% new urls
-        delta = dedup_latest(
+        # materialize the delta as parquet first: a real crawl delta arrives
+        # as files, and merge timing must not include Python datagen
+        raw_delta = dedup_latest(
             generate_recrawl_delta(
                 spark, N_PAGES, n_new=N_PAGES // 10, n_recrawl=N_PAGES // 5,
                 seed=42, partitions=CPUS,
             ),
             ["url"], "warc_ts",
         )
+        raw_delta.write.mode("overwrite").parquet(f"{work}/delta")
+        delta = spark.read.parquet(f"{work}/delta")
         n_delta = N_PAGES // 10 + N_PAGES // 5
         t0 = time.time()
         merge_into(tbl, delta, "url", target_file_rows=N_PAGES // CPUS)

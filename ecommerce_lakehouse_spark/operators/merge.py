@@ -60,7 +60,10 @@ def _candidate_files(table: IcehouseTable, source: DataFrame, key_cols: list[str
         *[F.min(k).alias(f"lo_{k}") for k in key_cols],
         *[F.max(k).alias(f"hi_{k}") for k in key_cols],
     ).first()
-    files = table.live_files()
+    return _prune_candidates(table.live_files(), bounds, key_cols)
+
+
+def _prune_candidates(files, bounds, key_cols: list[str]):
     out = []
     for f in files:
         keep = True
@@ -121,11 +124,16 @@ def merge_into(
     tcols = [f.name for f in schema.fields]
 
     source = source.select(*tcols) if not delete_matched else source
-    candidates = _candidate_files(table, source, keys)
 
-    # --- affected-file discovery -------------------------------------------
+    # one prep job: key bounds (for stats pruning) + exact distinct key count
     src_keys = source.select(*keys).distinct()
-    n_src_keys = src_keys.count()
+    prep = source.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+        F.count_distinct(*[F.col(k) for k in keys]).alias("__nkeys"),
+    ).first()
+    n_src_keys = prep["__nkeys"]
+    candidates = _prune_candidates(table.live_files(), prep, keys)
     if salt_buckets:
         # Deterministic salt spreads one hot key across buckets for the
         # discovery join; the probe side is exploded to all bucket values.
@@ -166,6 +174,12 @@ def merge_into(
     by_rel = {f.path: f for f in candidates}
     affected_files = [by_rel[r] for r in rel_affected if r in by_rel]
 
+    # --- pre-write no-op detection (P7 empty short-circuit) ------------------
+    # discovery is exact: matches exist ⟺ affected_files non-empty
+    if not affected_files:
+        if delete_matched or not insert_new or n_src_keys == 0:
+            return MergeResult(None, 0, 0, 0, 0)
+
     # --- merge computation ---------------------------------------------------
     if affected_files:
         tgt = spark.read.schema(schema).parquet(
@@ -194,50 +208,58 @@ def merge_into(
             expr = F.when(F.col("__t").isNotNull(), tc).otherwise(sc)
         out_cols.append(expr.alias(c))
 
-    joined = joined.persist()
-    flags = joined.select(
+    # Merge metrics ride along the single write action via Observation —
+    # no persist of the wide join and no second pass over it.
+    from pyspark.sql import Observation
+
+    obs = Observation("merge_metrics")
+    joined = joined.observe(
+        obs,
         F.sum(F.when(matched, 1).otherwise(0)).alias("n_upd"),
-        F.sum(F.when(F.col("__s").isNotNull() & F.col("__t").isNull(), 1).otherwise(0)).alias("n_ins"),
-        F.sum(F.when(F.col("__t").isNotNull() & F.col("__s").isNull(), 1).otherwise(0)).alias("n_pass"),
-    ).first()
-    n_upd, n_ins, n_pass = flags.n_upd or 0, flags.n_ins or 0, flags.n_pass or 0
-    if not insert_new or delete_matched:
-        n_ins = 0
+        F.sum(
+            F.when(F.col("__s").isNotNull() & F.col("__t").isNull(), 1).otherwise(0)
+        ).alias("n_ins"),
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__s").isNull(), 1).otherwise(0)
+        ).alias("n_pass"),
+    )
 
     if delete_matched:
         result = joined.filter(F.col("__t").isNotNull() & F.col("__s").isNull()).select(
             *[t[c].alias(c) for c in tcols]
         )
-        n_rows = n_pass
     elif not insert_new:
         result = joined.filter(F.col("__t").isNotNull()).select(*out_cols)
-        n_rows = n_upd + n_pass
     else:
         result = joined.select(*out_cols)
-        n_rows = n_upd + n_ins + n_pass
 
-    if (n_upd == 0 and n_ins == 0 and not delete_matched) or (
-        delete_matched and n_upd == 0
-    ):
-        joined.unpersist()
-        return MergeResult(None, 0, 0, 0, 0)  # no-op: nothing matched/new
-
+    # Output file sizing from metadata only (no pre-count): affected rows from
+    # manifests + distinct source keys as the insert upper bound.
     parts = None
-    if target_file_rows and n_rows:
-        parts = max(1, (n_rows + target_file_rows - 1) // target_file_rows)
+    if target_file_rows:
+        est = sum(f.row_count for f in affected_files) + n_src_keys
+        parts = max(1, (est + target_file_rows - 1) // target_file_rows)
 
-    try:
-        snap = table.replace_files(
-            [f.path for f in affected_files],
-            result,
-            operation="merge",
-            target_partitions=parts,
-            extra_summary={
-                "merge_updated": n_upd,
-                "merge_inserted": n_ins,
-                "merge_passthrough": n_pass,
-            },
-        )
-    finally:
-        joined.unpersist()
+    # stage first (triggers the one write action → metrics become available),
+    # then commit atomically with the metrics in the snapshot summary
+    added = table._stage_dataframe(
+        result, None, snapshot_id=table.current_version() + 1,
+        target_partitions=parts,
+    )
+    got = obs.get
+    n_upd, n_ins, n_pass = got["n_upd"] or 0, got["n_ins"] or 0, got["n_pass"] or 0
+    if not insert_new or delete_matched:
+        n_ins = 0
+
+    snap = table.replace_files(
+        [f.path for f in affected_files],
+        None,
+        operation="merge",
+        precomputed_added=added,
+        extra_summary={
+            "merge_updated": n_upd,
+            "merge_inserted": n_ins,
+            "merge_passthrough": n_pass,
+        },
+    )
     return MergeResult(snap, n_upd, n_ins, n_upd + n_ins + n_pass, len(affected_files))

@@ -61,3 +61,20 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, cores: int | None = None) -> None:
+    """Spawn and warm one Python (Arrow) worker per core with a trivial
+    mapInPandas job, so the first real pandas-UDF stage doesn't pay N
+    concurrent cold pandas imports (~20s at 32 threads in local mode).
+    Long-running clusters amortize this; benchmarks must not measure it.
+    """
+    import pandas as pd  # noqa: F401
+
+    n = cores or spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(0, n * 2, 1, n * 2).mapInPandas(_noop, "id long").count()
