@@ -684,3 +684,8 @@ REGISTRY: dict = {
 from .queries_ml import ML_REGISTRY  # noqa: E402
 
 REGISTRY.update(ML_REGISTRY)
+
+# Maintenance-suite entries (rows-only driver checks; no SQL oracle)
+from .queries_maintenance import MAINTENANCE_REGISTRY  # noqa: E402
+
+REGISTRY.update(MAINTENANCE_REGISTRY)
