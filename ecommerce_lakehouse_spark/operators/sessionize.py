@@ -110,3 +110,47 @@ def recompute_affected(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     scoped = full.join(F.broadcast(affected_keys(incremental, keys)), keys, "inner")
     return aggregate(scoped)
+
+
+def maintain_sessions_table(
+    spark,
+    sessions_path: str,
+    all_events: DataFrame,
+    incremental_events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    event_type_col: str | None = None,
+    conversion_type: str | None = None,
+    tiebreak_col: str | None = None,
+):
+    """Incremental sessions-table maintenance — the reference's full
+    sessionize-then-MERGE flow (``sessionize_clickstream.py:85-309``):
+
+    new events → affected entities → re-sessionize ALL their events (exact
+    cross-row metrics; T6 late-data correctness) → MERGE on session_id with
+    partial update of the mutable metric columns (open sessions extended,
+    M4) and insert of brand-new sessions. Deterministic md5 session ids make
+    the whole maintenance idempotent.
+    """
+    from ..table.format import IcehouseTable
+    from .merge import merge_into
+
+    scoped = all_events.join(
+        F.broadcast(affected_keys(incremental_events, entity_col)),
+        entity_col,
+        "inner",
+    )
+    sess = sessionize(
+        scoped, entity_col, ts_col, gap_seconds,
+        event_type_col=event_type_col, conversion_type=conversion_type,
+        tiebreak_col=tiebreak_col,
+    )
+    tbl = IcehouseTable(spark, sessions_path)
+    if not tbl.exists():
+        return IcehouseTable.create(spark, sessions_path, sess), None
+    mutable = [
+        c for c in sess.columns if c not in (entity_col, "session_id", "session_date")
+    ]
+    result = merge_into(tbl, sess, ["session_id"], update_cols=mutable)
+    return tbl, result

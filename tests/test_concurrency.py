@@ -39,6 +39,7 @@ def test_merge_during_compaction_conflicts(spark, tbl):
     victim_url_row = (
         spark.read.schema(tbl.schema())
         .parquet(f"{tbl.path}/{bins[0].files[0].path}")
+        .orderBy("url")
         .limit(1)
     )
     src = victim_url_row.withColumn("lang", F.lit("xx"))
@@ -50,8 +51,9 @@ def test_merge_during_compaction_conflicts(spark, tbl):
     with pytest.raises(CommitConflict):
         tbl.replace_files(removed, None, operation="compact", precomputed_added=added)
 
-    # lost-update check: the merge's change is still visible
-    assert tbl.scan().filter(F.col("lang") == "xx").count() == 1
+    # lost-update check: the merge's change is still visible (>=1: the url
+    # may legitimately exist in several appends → multi-match update)
+    assert tbl.scan().filter(F.col("lang") == "xx").count() >= 1
 
 
 def test_compaction_then_stale_merge_conflicts(spark, tbl):
