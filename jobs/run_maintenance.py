@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Cluster entry point: the full maintenance pass over an Icehouse table.
+
+Ship as::
+
+    python package.py                        # -> dist/ecommerce_lakehouse_spark.zip
+    spark-submit --py-files dist/ecommerce_lakehouse_spark.zip \
+        jobs/run_maintenance.py --table /path/to/pages \
+        [--merge-delta /path/to/delta.parquet] [--curve hilbert] \
+        [--target-file-mb 128] [--keep-snapshots 2]
+
+Steps (each optional/idempotent, all resumable via the table ledger):
+MERGE delta → bin-packing compaction → Z-order/Hilbert clustering →
+manifest rewrite → snapshot expiry. Prints one JSON line of metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--merge-delta", default=None, help="parquet path of upsert rows")
+    ap.add_argument("--merge-key", default="url")
+    ap.add_argument("--curve", default="morton", choices=["morton", "hilbert", "none"])
+    ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument("--keep-snapshots", type=int, default=2)
+    ap.add_argument("--skip-compact", action="store_true")
+    ap.add_argument("--skip-expire", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ecommerce_lakehouse_spark.maintenance import (
+        compact,
+        expire_snapshots,
+        rewrite_manifests,
+        zorder_by,
+    )
+    from ecommerce_lakehouse_spark.operators.merge import merge_into
+    from ecommerce_lakehouse_spark.table import IcehouseTable
+
+    # on a cluster, master/conf come from spark-submit
+    spark = SparkSession.builder.appName("icehouse-maintenance").getOrCreate()
+    tbl = IcehouseTable(spark, args.table)
+    target = args.target_file_mb * 1024 * 1024
+    metrics: dict = {"table": args.table}
+
+    if args.merge_delta:
+        t0 = time.time()
+        delta = spark.read.parquet(args.merge_delta)
+        res = merge_into(tbl, delta, args.merge_key)
+        metrics["merge"] = {
+            "sec": round(time.time() - t0, 2),
+            "updated": res.rows_updated,
+            "inserted": res.rows_inserted,
+            "files_rewritten": res.files_rewritten,
+        }
+
+    if not args.skip_compact:
+        t0 = time.time()
+        snap = compact(tbl, target_file_bytes=target)
+        metrics["compact"] = {
+            "sec": round(time.time() - t0, 2),
+            "ran": snap is not None,
+            **({k: v for k, v in snap.summary.items() if k.startswith("compact")} if snap else {}),
+        }
+
+    if args.curve != "none":
+        t0 = time.time()
+        snap = zorder_by(tbl, curve=args.curve, target_file_bytes=target)
+        metrics["cluster"] = {"sec": round(time.time() - t0, 2), **snap.summary}
+
+    rewrite_manifests(tbl)
+    if not args.skip_expire:
+        res = expire_snapshots(tbl, keep_last=args.keep_snapshots)
+        metrics["expire"] = {
+            "expired": len(res.expired_snapshots),
+            "deleted_files": res.deleted_data_files,
+            "freed_bytes": res.freed_bytes,
+        }
+
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
