@@ -40,9 +40,12 @@ from pyspark.sql.window import Window
 from ..table.format import IcehouseTable, Snapshot
 from ..table.stats import _norm
 
-# Broadcast the source-key set below this estimated size (matches Spark's
-# default broadcast threshold order of magnitude).
+# Hybrid join strategy thresholds (north_rule: broadcast-vs-sort-merge
+# keyed on url): broadcast the source when BOTH hold — key count small AND
+# Catalyst's size estimate under the byte cap (html-heavy sources get wide;
+# broadcasting multi-GB build sides OOMs executors at cluster scale).
 BROADCAST_KEY_LIMIT = 1_000_000
+BROADCAST_BYTES_LIMIT = 256 * 1024 * 1024
 
 
 @dataclass
@@ -188,14 +191,36 @@ def merge_into(
     else:
         tgt = spark.createDataFrame([], schema)
 
-    t = tgt.alias("t").withColumn("__t", F.lit(True))
-    s = source.alias("s").withColumn("__s", F.lit(True))
-    cond = [t[k].eqNullSafe(s[k]) for k in keys]
-    joined = t.join(s, cond, "full_outer")
-
     upd_set = set(update_cols) if update_cols is not None else (
         set(tcols) - set(keys) - set(preserve_cols)
     )
+    try:
+        src_bytes_est = int(
+            source._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        src_bytes_est = None
+    broadcast_path = n_src_keys <= BROADCAST_KEY_LIMIT and (
+        src_bytes_est is None or src_bytes_est <= BROADCAST_BYTES_LIMIT
+    )
+
+    if broadcast_path:
+        # SMALL-SOURCE PLAN (the 10^12-doc hot path): the target side is
+        # NEVER shuffled. Updates/passthrough = target LEFT JOIN
+        # broadcast(source); inserts = source LEFT-ANTI broadcast(matched
+        # keys) — matched keys ⊆ source keys, so both broadcasts are small.
+        t = tgt.alias("t").withColumn("__t", F.lit(True))
+        s = source.alias("s").withColumn("__s", F.lit(True))
+        cond = [t[k].eqNullSafe(s[k]) for k in keys]
+        joined = t.join(F.broadcast(s), cond, "left")
+    else:
+        # LARGE-SOURCE PLAN: sort-merge full outer; AQE splits skewed keys,
+        # and the caller can layer deterministic salting on discovery.
+        t = tgt.alias("t").withColumn("__t", F.lit(True))
+        s = source.alias("s").withColumn("__s", F.lit(True))
+        cond = [t[k].eqNullSafe(s[k]) for k in keys]
+        joined = t.join(s, cond, "full_outer")
+
     matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
     out_cols = []
     for c in tcols:
@@ -224,12 +249,23 @@ def merge_into(
         ).alias("n_pass"),
     )
 
+    obs_ins = None
     if delete_matched:
         result = joined.filter(F.col("__t").isNotNull() & F.col("__s").isNull()).select(
             *[t[c].alias(c) for c in tcols]
         )
     elif not insert_new:
         result = joined.filter(F.col("__t").isNotNull()).select(*out_cols)
+    elif broadcast_path:
+        # inserts don't appear in a LEFT join: union source rows whose key
+        # matched nothing (anti-join against the broadcast matched-key set)
+        matched_keys = tgt.select(*keys).join(
+            F.broadcast(src_keys), keys, "left_semi"
+        ).distinct()
+        inserts = source.join(F.broadcast(matched_keys), keys, "left_anti").select(*tcols)
+        obs_ins = Observation("merge_inserts")
+        inserts = inserts.observe(obs_ins, F.count(F.lit(1)).alias("n_ins"))
+        result = joined.select(*out_cols).unionByName(inserts)
     else:
         result = joined.select(*out_cols)
 
@@ -248,6 +284,8 @@ def merge_into(
     )
     got = obs.get
     n_upd, n_ins, n_pass = got["n_upd"] or 0, got["n_ins"] or 0, got["n_pass"] or 0
+    if obs_ins is not None:
+        n_ins = obs_ins.get["n_ins"] or 0
     if not insert_new or delete_matched:
         n_ins = 0
 

@@ -135,3 +135,38 @@ def test_merge_salted_discovery(spark, base_table):
         m.BROADCAST_KEY_LIMIT = old_limit
     assert res.rows_updated == 20 and res.rows_inserted == 10
     assert base_table.scan().count() == 310
+
+
+def test_merge_broadcast_path_plan_shape(spark, base_table):
+    """Small-source merge must never shuffle the target: the rewrite plan
+    uses BroadcastHashJoin, not SortMergeJoin/Exchange on the target side."""
+    from pyspark.sql import functions as F
+
+    tgt_files = [f"{base_table.path}/{f.path}" for f in base_table.live_files()]
+    tgt = spark.read.schema(base_table.schema()).parquet(*tgt_files)
+    src = base_table.scan().orderBy("url").limit(5)
+    t = tgt.alias("t").withColumn("__t", F.lit(True))
+    s = src.alias("s").withColumn("__s", F.lit(True))
+    joined = t.join(F.broadcast(s), [t["url"].eqNullSafe(s["url"])], "left")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_big_source_path_equivalent(spark, base_table):
+    """Force the large-source (full-outer SMJ) path and check results equal
+    the broadcast path's semantics."""
+    import ecommerce_lakehouse_spark.operators.merge as m
+
+    delta = dedup_latest(
+        generate_recrawl_delta(spark, 300, n_new=15, n_recrawl=25, seed=21),
+        ["url"], "warc_ts",
+    )
+    old = m.BROADCAST_KEY_LIMIT
+    m.BROADCAST_KEY_LIMIT = 0
+    try:
+        res = merge_into(base_table, delta, "url")
+    finally:
+        m.BROADCAST_KEY_LIMIT = old
+    assert res.rows_updated == 25 and res.rows_inserted == 15
+    assert base_table.scan().count() == 315
