@@ -68,8 +68,9 @@ def zorder_by(
     n_out = max(1, (total_bytes + target_file_bytes - 1) // target_file_bytes)
 
     lo_us, hi_us = _ts_bounds_from_stats(table, ts_col)
-    lo = datetime.datetime.utcfromtimestamp(lo_us / 1e6)
-    hi = datetime.datetime.utcfromtimestamp(hi_us / 1e6)
+    epoch = datetime.datetime(1970, 1, 1)
+    lo = epoch + datetime.timedelta(microseconds=lo_us)
+    hi = epoch + datetime.timedelta(microseconds=hi_us)
 
     df = table.scan()
     x = url_hash31(F.col(url_col))

@@ -31,6 +31,7 @@ the watermark ledger this gives the reference's effectively-once processing.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -169,8 +170,6 @@ def merge_into(
             p = p[5:]
             while p.startswith("//"):
                 p = p[1:]
-        import os
-
         return os.path.relpath(p, table.path)
 
     rel_affected = [_to_rel(p) for p in affected_paths]

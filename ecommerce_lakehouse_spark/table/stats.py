@@ -17,6 +17,7 @@ dates → ISO strings, bytes → skipped, strings → 64-char truncated bounds
 from __future__ import annotations
 
 import datetime
+import os
 from decimal import Decimal
 
 import pyarrow.parquet as pq
@@ -93,11 +94,7 @@ def file_stats(path: str, stats_cols: list[str] | None = None) -> tuple[int, int
                     entry["min"] = lo
                 if hi is not None and (entry["max"] is None or hi > entry["max"]):
                     entry["max"] = hi
-    size = md.serialized_size  # footer size; real file size from os below
-    import os
-
-    size = os.path.getsize(path)
-    return md.num_rows, size, agg
+    return md.num_rows, os.path.getsize(path), agg
 
 
 def collect_stats(spark, paths: list[str], stats_cols: list[str] | None = None) -> list[dict]:
