@@ -29,6 +29,9 @@ EPOCH_9999_US = 253402300799000000  # 9999-12-31 23:59:59 UTC in microseconds
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # epoch arithmetic (unix_micros on NTZ→LTZ casts) must not depend on the
+    # caller's session timezone — pin UTC (runtime-settable, idempotent)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

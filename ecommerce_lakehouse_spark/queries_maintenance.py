@@ -26,6 +26,7 @@ def _fresh_dir() -> str:
 
 def _pages_out(df: DataFrame) -> DataFrame:
     """Deterministic, hash-friendly projection of a pages scan."""
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     return df.select(
         "url",
         F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts_us"),
@@ -84,6 +85,7 @@ def m_scd2_history_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .table import IcehouseTable
 
     d = _fresh_dir()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         base = generate_pages(spark, 800, seed=11, partitions=2).select(
             "url", "text", "lang", F.col("warc_ts").alias("crawl_ts")
