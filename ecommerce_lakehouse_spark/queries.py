@@ -692,3 +692,131 @@ REGISTRY.update(ML_REGISTRY)
 from .queries_maintenance import MAINTENANCE_REGISTRY  # noqa: E402
 
 REGISTRY.update(MAINTENANCE_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# product_performance gold table (product_performance.py:62-77): dim join +
+# agg + rank-within-category, full reference column set
+# ---------------------------------------------------------------------------
+
+def q_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(
+            dsum(F.col("l_quantity")).alias("units_sold"),
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "total_revenue"
+            ),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("total_revenue").desc(), F.col("p_partkey")
+    )
+    return agg.withColumn("category_rank", F.row_number().over(w)).select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_name").alias("product_name"),
+        F.col("p_brand").alias("category"),
+        "units_sold",
+        "total_revenue",
+        "category_rank",
+    )
+
+
+SQL_PRODUCT_PERFORMANCE = """
+WITH agg AS (
+  SELECT p_partkey, p_name, p_brand,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS units_sold,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT p_partkey AS product_id, p_name AS product_name, p_brand AS category,
+       units_sold, total_revenue,
+       ROW_NUMBER() OVER (PARTITION BY p_brand
+                          ORDER BY total_revenue DESC, p_partkey) AS category_rank
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_clean fact enrichment (ingest_silver_tables.py:338-384): fact LEFT
+# JOIN SCD2 dim point-in-time (J3) + SCD1 dim lookup (J4), both sks attached
+# ---------------------------------------------------------------------------
+
+def q_orders_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    # SCD1-style dim: one current version per customer, md5 surrogate key
+    cust_dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("d_custkey"),
+        F.md5(F.concat_ws("||", F.col("c_custkey").cast("string"), "c_name")).alias(
+            "customer_sk"
+        ),
+    )
+    # SCD2-style versioned dim derived from each customer's order dates
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    versions = (
+        orders.select("o_custkey", "o_orderdate")
+        .distinct()
+        .select(
+            F.col("o_custkey").alias("v_custkey"),
+            F.col("o_orderdate").alias("effective_from"),
+            F.coalesce(
+                F.lead("o_orderdate").over(w),
+                F.lit("9999-12-31 23:59:59").cast("timestamp_ntz"),
+            ).alias("effective_to"),
+            F.md5(
+                F.concat_ws(
+                    "||",
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+                    F.col("o_custkey"),
+                )
+            ).alias("version_sk"),
+        )
+    )
+    fact = orders.join(
+        F.broadcast(cust_dim), orders.o_custkey == cust_dim.d_custkey, "left"
+    ).join(
+        F.broadcast(versions),
+        (orders.o_custkey == versions.v_custkey)
+        & (orders.o_orderdate >= versions.effective_from)
+        & (orders.o_orderdate < versions.effective_to),
+        "left",
+    )
+    return fact.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("total_amount"),
+        F.lower("o_orderstatus").alias("status"),
+        "customer_sk",
+        "version_sk",
+    )
+
+
+SQL_ORDERS_CLEAN = """
+WITH cust_dim AS (
+  SELECT c_custkey AS d_custkey,
+         md5(concat_ws('||', CAST(c_custkey AS VARCHAR), c_name)) AS customer_sk
+  FROM customer
+), versions AS (
+  SELECT o_custkey AS v_custkey,
+         o_orderdate AS effective_from,
+         COALESCE(LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
+                  TIMESTAMP '9999-12-31 23:59:59') AS effective_to,
+         md5(concat_ws('||', epoch_us(o_orderdate), o_custkey)) AS version_sk
+  FROM (SELECT DISTINCT o_custkey, o_orderdate FROM orders)
+)
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice AS total_amount, LOWER(o_orderstatus) AS status,
+       customer_sk, version_sk
+FROM orders
+LEFT JOIN cust_dim ON o_custkey = d_custkey
+LEFT JOIN versions ON o_custkey = v_custkey
+                  AND o_orderdate >= effective_from AND o_orderdate < effective_to
+"""
+
+REGISTRY["product_performance"] = (q_product_performance, SQL_PRODUCT_PERFORMANCE)
+REGISTRY["orders_clean"] = (q_orders_clean, SQL_ORDERS_CLEAN)
