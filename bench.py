@@ -115,13 +115,35 @@ def main() -> None:
         maint["compact_sec"] = round(compact_sec, 3)
 
         # Z-order cluster the whole table
-        gb = sum(f.size_bytes for f in tbl.live_files()) / 1e9
+        live_bytes = sum(f.size_bytes for f in tbl.live_files())
+        gb = live_bytes / 1e9
         t0 = time.time()
-        zorder_by(tbl, curve="morton", target_file_bytes=16 * 1024 * 1024)
+        # ~12 output files so the pruning metrics below are meaningful
+        zorder_by(tbl, curve="morton", url_coord="prefix",
+                  target_file_bytes=max(1 << 20, live_bytes // 12))
         z_sec = time.time() - t0
         maint["zorder_sec"] = round(z_sec, 3)
         maint["compact_zorder_gb_per_hour"] = round(
             (table_bytes / 1e9 + gb) / ((compact_sec + z_sec) / 3600.0), 2
+        )
+
+        # quantify the clustering benefit: fraction of files a watermark
+        # slice and a url-range probe can skip post-Z-order (metadata only)
+        import datetime
+
+        from ecommerce_lakehouse_spark.table import Predicate
+
+        n_files = len(tbl.live_files())
+        ts_pred = [Predicate("warc_ts", ">", datetime.datetime(2023, 12, 10))]
+        url_pred = [Predicate("url", ">=", "https://site025")]
+        maint["files_total"] = n_files
+        maint["files_scanned_ts_slice"] = len(tbl.planned_files(ts_pred))
+        maint["files_scanned_url_range"] = len(tbl.planned_files(url_pred))
+        maint["prune_ratio_ts"] = round(
+            1 - maint["files_scanned_ts_slice"] / n_files, 3
+        )
+        maint["prune_ratio_url"] = round(
+            1 - maint["files_scanned_url_range"] / n_files, 3
         )
 
         t0 = time.time()

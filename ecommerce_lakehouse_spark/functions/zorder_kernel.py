@@ -130,3 +130,18 @@ def coord31(col: Column, lo: Column | None = None, hi: Column | None = None) -> 
 def url_hash31(url: Column) -> Column:
     """31-bit url hash via built-in xxhash64 (JVM, codegen-friendly)."""
     return F.pmod(F.xxhash64(url), F.lit(1 << BITS))
+
+
+def url_prefix31(url: Column, skip_common_prefix: int = 0) -> Column:
+    """31-bit LEXICOGRAPHIC coordinate: 4 utf8 bytes of the url (after the
+    table's common prefix — 'https://…' carries no information) as a
+    big-endian integer (>>1 to fit 31 bits). Unlike ``url_hash31``, value
+    ranges map to code ranges, so url-range predicates prune post-cluster
+    (Delta-style value Z-order); the hash coordinate instead optimizes
+    key-equality locality (MERGE discovery). Both stay JVM-side.
+    """
+    first4 = F.rpad(
+        F.substring(url.cast("binary"), skip_common_prefix + 1, 4), 4, bytes([0])
+    )
+    as_int = F.conv(F.hex(first4), 16, 10).cast("long")
+    return F.shiftright(as_int, 1)

@@ -28,7 +28,13 @@ import datetime
 
 from pyspark.sql import functions as F
 
-from ..functions.zorder_kernel import coord31, hilbert_udf, morton_udf, url_hash31
+from ..functions.zorder_kernel import (
+    coord31,
+    hilbert_udf,
+    morton_udf,
+    url_hash31,
+    url_prefix31,
+)
 from ..table.format import IcehouseTable, Snapshot
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
@@ -57,10 +63,18 @@ def zorder_by(
     curve: str = "morton",
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     snapshot_scope: list | None = None,
+    url_coord: str = "hash",
 ) -> Snapshot:
-    """Rewrite the whole table clustered by curve(url-hash, warc_ts)."""
+    """Rewrite the whole table clustered by curve(url-coord, warc_ts).
+
+    url_coord="hash" (default, BASELINE spec): xxhash64 coordinate —
+    key-equality locality for MERGE. url_coord="prefix": lexicographic
+    4-byte coordinate — url-RANGE predicates prune post-cluster too.
+    """
     if curve not in ("morton", "hilbert"):
         raise ValueError(f"unknown curve {curve!r}")
+    if url_coord not in ("hash", "prefix"):
+        raise ValueError(f"unknown url_coord {url_coord!r}")
     kernel = morton_udf if curve == "morton" else hilbert_udf
 
     files = table.live_files()
@@ -73,7 +87,37 @@ def zorder_by(
     hi = epoch + datetime.timedelta(microseconds=hi_us)
 
     df = table.scan()
-    x = url_hash31(F.col(url_col))
+    if url_coord == "hash":
+        x = url_hash31(F.col(url_col))
+    else:
+        # lexicographic coordinate: skip the table-wide common url prefix
+        # (from manifest stats — 'https://…' carries zero information)
+        lo_s, hi_s = None, None
+        for f in files:
+            st = f.stats.get(url_col) or {}
+            if st.get("min") is not None:
+                lo_s = st["min"] if lo_s is None else min(lo_s, st["min"])
+            if st.get("max") is not None:
+                hi_s = st["max"] if hi_s is None else max(hi_s, st["max"])
+        lcp = 0
+        if lo_s and hi_s:
+            for a, b in zip(lo_s, hi_s):
+                if a != b:
+                    break
+                lcp += 1
+
+        def _first4_int(u: str) -> int:
+            b = u.encode("utf-8")[lcp : lcp + 4].ljust(4, b"\x00")
+            return int.from_bytes(b, "big") >> 1
+
+        lo_i = _first4_int(lo_s) if lo_s else 0
+        hi_i = _first4_int(hi_s) if hi_s else (1 << 31) - 1
+        # min-max scale: ASCII urls occupy a narrow byte band, so without
+        # scaling the top interleave bits carry no information
+        x = coord31(
+            url_prefix31(F.col(url_col), skip_common_prefix=lcp),
+            lo=F.lit(lo_i), hi=F.lit(hi_i),
+        )
     y = coord31(
         F.unix_micros(F.col(ts_col).cast("timestamp")),
         lo=F.unix_micros(F.lit(lo).cast("timestamp")),

@@ -252,3 +252,22 @@ def test_rewrite_manifests_consolidates(spark, fragmented_table):
     assert len(tbl.manifests_of(new)) == 1
     assert table_rows(tbl) == rows_before
     assert new.summary["manifests_before"] == 5
+
+
+def test_prefix_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Value (prefix) Z-order: url-RANGE and ts predicates both skip files
+    post-cluster, and pruned scans equal full-scan filters exactly."""
+    df = generate_pages(spark, 2000, seed=17, partitions=5)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "zp"), df)
+    total = sum(f.size_bytes for f in tbl.live_files())
+    zorder_by(tbl, curve="morton", url_coord="prefix",
+              target_file_bytes=max(1, total // 10))
+    n = len(tbl.live_files())
+    assert n >= 8
+    ts_pred = [Predicate("warc_ts", ">", datetime.datetime(2023, 12, 5))]
+    url_pred = [Predicate("url", ">=", "https://site030")]
+    assert len(tbl.planned_files(ts_pred)) < n
+    assert len(tbl.planned_files(url_pred)) < n, "url ranges must prune (value z-order)"
+    assert tbl.scan(url_pred).count() == tbl.scan().filter(
+        F.col("url") >= "https://site030"
+    ).count()
