@@ -160,3 +160,91 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer with DETERMINISTIC centroids: every
+    (count/n_cells)-th vector by id is a centroid (a seeded sample; k-means
+    refinement is an optional extra pass, not needed for correctness).
+
+    Returns (centroids(cell_id, cv), assignments(id, cell_id)) — the inverted
+    file. Assignment = argmax cosine against broadcast centroids: one scan of
+    the corpus, no shuffle of the big side; at 10^12 docs this is the same
+    shape as the production FAISS-style build (centroids always fit in a
+    broadcast).
+    """
+    from pyspark.sql.window import Window
+
+    n = vectors.count()
+    stride = max(1, n // n_cells)
+    centroids = (
+        vectors.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_cells))
+        .select(
+            (F.col(id_col) / stride).cast("int").alias("cell_id"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+    scored = vectors.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(centroids)
+    ).withColumn("sim", cosine_expr(F.col(vec_col), F.col("cv")))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell_id"))
+    assignments = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cell_id")
+    )
+    return centroids, assignments
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF search: route each query to its n_probe nearest cells, exact
+    cosine re-rank only within those cells' posting lists.
+
+    Scale path: the corpus is scanned once at build; each query touches
+    ~n_probe/n_cells of the data. Returns (query_id, neighbor_id, rank).
+    """
+    from pyspark.sql.window import Window
+
+    centroids, assignments = ivf_assign(vectors, n_cells, vec_col, id_col)
+    inverted = vectors.join(assignments, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell_id"
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q_scored = q.join(F.broadcast(centroids.withColumnRenamed("cv", "cent"))).withColumn(
+        "sim", cosine_expr(F.col("qv"), F.col("cent"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell_id"))
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "cell_id")
+    )
+
+    cand = probes.join(inverted, "cell_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

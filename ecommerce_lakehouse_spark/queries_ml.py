@@ -194,6 +194,13 @@ WHERE rank <= {ANN_K}
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-cell ANN (deterministic sampled centroids) — rows-only check."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    return S.ivf_ann_topk(emb, queries, k=ANN_K, n_cells=16, n_probe=4)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN — the scale path; no SQL oracle (signature planes are
     engine-side constants), driver records the rows-only check."""
@@ -282,6 +289,7 @@ ML_REGISTRY: dict = {
     "cosine_near_dup": (q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
     "multimodal_features": (q_multimodal_features, None),
     "morton_codes": (q_morton_codes, SQL_MORTON_CODES),
