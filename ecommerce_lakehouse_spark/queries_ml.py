@@ -277,6 +277,22 @@ def _sql_morton() -> str:
 SQL_MORTON_CODES = _sql_morton()
 
 
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ sketch aggregation — the documented swap for exact
+    countDistinct at 10^12 scale (SURVEY §2.4 A3). Register-merge is
+    commutative/associative, so results are deterministic under any
+    partitioning → rows-only driver check (no DuckDB oracle: different
+    sketch implementation)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
 ML_REGISTRY: dict = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
@@ -290,6 +306,7 @@ ML_REGISTRY: dict = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "approx_distinct": (q_approx_distinct, None),
     "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
     "multimodal_features": (q_multimodal_features, None),
     "morton_codes": (q_morton_codes, SQL_MORTON_CODES),
