@@ -19,9 +19,12 @@ Execution plan (all Spark DataFrame ops, one snapshot commit):
    broadcast-vs-shuffle strategy, the north_rule's skew-aware join: AQE
    skew-join splitting handles hot url prefixes on the shuffle path, and an
    optional explicit salt spreads a pathological hot key deterministically).
-3. **Full-outer merge** of affected-file rows with the source on the key:
-   matched → source values (minus preserved columns), target-only →
-   passthrough, source-only → insert.
+3. **Hybrid merge join** of affected-file rows with the source on the key
+   (matched → source values minus preserved columns, target-only →
+   passthrough, source-only → insert): small sources take the broadcast
+   plan (target LEFT JOIN broadcast(source) + anti-join inserts — the
+   target side is never shuffled); large sources take full-outer
+   sort-merge with AQE skew splitting.
 4. **Atomic commit**: replace(affected files → rewritten files + inserts).
 
 Idempotency: merging the same source twice yields identical table state
