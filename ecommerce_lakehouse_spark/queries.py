@@ -274,9 +274,9 @@ SELECT user_id, session_id,
        MAX(ts) AS last_event_ts,
        (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS session_duration_secs,
        COUNT(*) AS event_count,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_count,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_count,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 AS converted,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
 FROM sess
@@ -553,10 +553,10 @@ def q_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HOURLY_TRAFFIC = """
 SELECT date_trunc('hour', ts) AS event_hour,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS page_views,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS page_views,
        COUNT(DISTINCT user_id) AS unique_visitors,
        COUNT(*) AS total_events,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS purchase_rate,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value

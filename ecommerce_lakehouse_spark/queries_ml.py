@@ -49,7 +49,7 @@ def q_text_langid(spark, sf_dir):
 
 SQL_TEXT_LANGID = f"""
 SELECT {T.sql_langid('text')} AS lang_pred, COUNT(*) AS cnt,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1
 """
 
@@ -228,8 +228,8 @@ def q_multimodal_metadata(spark, sf_dir):
 SQL_MULTIMODAL_METADATA = """
 SELECT 'application/octet-stream' AS media_type,
        COUNT(*) AS n_docs,
-       SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
-       MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
 FROM documents
 """
 

@@ -8,7 +8,7 @@ import pytest
 from ecommerce_lakehouse_spark.queries import REGISTRY
 
 from .conftest import SF_ORACLE
-from .util_compare import assert_frames_match, duckdb_run
+from .util_compare import assert_arrow_match, duckdb_arrow, spark_arrow
 
 SQL_BACKED = [name for name, (_fn, sql) in REGISTRY.items() if sql is not None]
 
@@ -16,9 +16,9 @@ SQL_BACKED = [name for name, (_fn, sql) in REGISTRY.items() if sql is not None]
 @pytest.mark.parametrize("name", SQL_BACKED)
 def test_query_matches_oracle(spark, name):
     fn, sql = REGISTRY[name]
-    spark_pdf = fn(spark, SF_ORACLE).toPandas()
-    oracle_pdf = duckdb_run(sql, SF_ORACLE)
-    assert_frames_match(spark_pdf, oracle_pdf, name)
+    spark_tbl = spark_arrow(fn(spark, SF_ORACLE))
+    oracle_tbl = duckdb_arrow(sql, SF_ORACLE)
+    assert_arrow_match(spark_tbl, oracle_tbl, name)
 
 
 def test_entry_smoke(spark):
