@@ -20,11 +20,21 @@ At cluster scale the range shuffle is the dominant cost; AQE handles skewed
 code ranges (a hot domain's pages share url-hash prefixes, but the 31-bit
 hash spreads them; residual skew is handled by range-partition boundaries
 computed from a sample, which is exactly what repartitionByRange does).
+
+Scoping (round 2): a DAILY OPTIMIZE...ZORDER at 10^12 docs cannot rewrite the
+whole table — Iceberg's ``rewriteDataFiles`` takes a file filter for exactly
+this reason. ``scope="incremental"`` clusters only files added after the last
+``cluster-*`` snapshot (tracked via each DataFile's ``added_by`` lineage);
+``predicates=[...]`` restricts to files whose stats overlap a predicate
+(e.g. one day's partition). Both leave previously-clustered files untouched,
+so daily maintenance cost is O(new data), not O(table). Full-table and pruned
+scan results are unchanged — clustering only relocates rows between files.
 """
 
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import functions as F
 
@@ -35,15 +45,18 @@ from ..functions.zorder_kernel import (
     url_hash31,
     url_prefix31,
 )
-from ..table.format import IcehouseTable, Snapshot
+from ..table.format import DataFile, IcehouseTable, Snapshot
+from ..table.predicates import Predicate, prune_files
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
-def _ts_bounds_from_stats(table: IcehouseTable, ts_col: str) -> tuple[int, int]:
-    """min/max epoch-us of ts_col across live files, straight from manifests."""
+def _ts_bounds_from_stats(
+    files: list[DataFile], ts_col: str
+) -> tuple[int, int]:
+    """min/max epoch-us of ts_col across the given files, from manifests."""
     lo, hi = None, None
-    for f in table.live_files():
+    for f in files:
         st = f.stats.get(ts_col)
         if not st:
             continue
@@ -56,6 +69,35 @@ def _ts_bounds_from_stats(table: IcehouseTable, ts_col: str) -> tuple[int, int]:
     return lo, hi
 
 
+def last_cluster_snapshot_id(table: IcehouseTable) -> int | None:
+    """Most recent ``cluster-*`` snapshot id, or None if never clustered."""
+    ids = [
+        s.snapshot_id
+        for s in table.snapshots()
+        if s.operation.startswith("cluster-")
+    ]
+    return max(ids, default=None)
+
+
+def _scoped_files(
+    table: IcehouseTable,
+    scope: str,
+    predicates: list[Predicate] | None,
+) -> list[DataFile]:
+    files = table.live_files()
+    if scope == "incremental":
+        last = last_cluster_snapshot_id(table)
+        if last is not None:
+            # Files written by the clustering snapshot itself carry
+            # added_by == last; only strictly-later lineage is unclustered.
+            files = [f for f in files if (f.added_by or 0) > last]
+    elif scope != "full":
+        raise ValueError(f"unknown scope {scope!r}")
+    if predicates:
+        files = prune_files(files, IcehouseTable._stats_predicates(predicates))
+    return files
+
+
 def zorder_by(
     table: IcehouseTable,
     url_col: str = "url",
@@ -64,12 +106,19 @@ def zorder_by(
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     snapshot_scope: list | None = None,
     url_coord: str = "hash",
-) -> Snapshot:
-    """Rewrite the whole table clustered by curve(url-coord, warc_ts).
+    scope: str = "full",
+    predicates: list[Predicate] | None = None,
+) -> Snapshot | None:
+    """Rewrite the scoped file set clustered by curve(url-coord, warc_ts).
 
     url_coord="hash" (default, BASELINE spec): xxhash64 coordinate —
     key-equality locality for MERGE. url_coord="prefix": lexicographic
     4-byte coordinate — url-RANGE predicates prune post-cluster too.
+
+    scope="full" rewrites every live file (round-1 behavior);
+    scope="incremental" rewrites only files added since the last cluster-*
+    snapshot; ``predicates`` further restricts to stats-overlapping files.
+    Returns None (no commit) when the scope selects nothing.
     """
     if curve not in ("morton", "hilbert"):
         raise ValueError(f"unknown curve {curve!r}")
@@ -77,20 +126,27 @@ def zorder_by(
         raise ValueError(f"unknown url_coord {url_coord!r}")
     kernel = morton_udf if curve == "morton" else hilbert_udf
 
-    files = table.live_files()
+    files = _scoped_files(table, scope, predicates)
+    if not files:
+        return None
     total_bytes = sum(f.size_bytes for f in files)
     n_out = max(1, (total_bytes + target_file_bytes - 1) // target_file_bytes)
 
-    lo_us, hi_us = _ts_bounds_from_stats(table, ts_col)
+    # Coordinate scale bounds come from the SCOPED files only: codes are
+    # transient (recomputed per rewrite, never persisted), so each rewrite
+    # may use the tightest bounds available — more interleave bits carry
+    # information, and file min/max stats stay exact either way.
+    lo_us, hi_us = _ts_bounds_from_stats(files, ts_col)
     epoch = datetime.datetime(1970, 1, 1)
     lo = epoch + datetime.timedelta(microseconds=lo_us)
     hi = epoch + datetime.timedelta(microseconds=hi_us)
 
-    df = table.scan()
+    paths = [os.path.join(table.path, f.path) for f in files]
+    df = table.spark.read.schema(table.schema()).parquet(*paths)
     if url_coord == "hash":
         x = url_hash31(F.col(url_col))
     else:
-        # lexicographic coordinate: skip the table-wide common url prefix
+        # lexicographic coordinate: skip the scoped-set common url prefix
         # (from manifest stats — 'https://…' carries zero information)
         lo_s, hi_s = None, None
         for f in files:
@@ -135,6 +191,7 @@ def zorder_by(
         operation=f"cluster-{curve}",
         extra_summary={
             "cluster_curve": curve,
+            "cluster_scope": scope,
             "cluster_files_in": len(files),
             "cluster_files_out": n_out,
             "cluster_bytes": total_bytes,

@@ -27,6 +27,11 @@ def main() -> None:
     ap.add_argument("--merge-delta", default=None, help="parquet path of upsert rows")
     ap.add_argument("--merge-key", default="url")
     ap.add_argument("--curve", default="morton", choices=["morton", "hilbert", "none"])
+    ap.add_argument(
+        "--cluster-scope", default="full", choices=["full", "incremental"],
+        help="incremental = cluster only files added since the last "
+        "cluster-* snapshot (daily-OPTIMIZE mode; O(new data), not O(table))",
+    )
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument("--keep-snapshots", type=int, default=2)
     ap.add_argument("--skip-compact", action="store_true")
@@ -72,8 +77,13 @@ def main() -> None:
 
     if args.curve != "none":
         t0 = time.time()
-        snap = zorder_by(tbl, curve=args.curve, target_file_bytes=target)
-        metrics["cluster"] = {"sec": round(time.time() - t0, 2), **snap.summary}
+        snap = zorder_by(tbl, curve=args.curve, target_file_bytes=target,
+                         scope=args.cluster_scope)
+        metrics["cluster"] = {
+            "sec": round(time.time() - t0, 2),
+            "ran": snap is not None,
+            **(snap.summary if snap else {}),
+        }
 
     rewrite_manifests(tbl)
     if not args.skip_expire:

@@ -271,3 +271,74 @@ def test_prefix_zorder_prunes_both_dimensions(spark, tmp_path):
     assert tbl.scan(url_pred).count() == tbl.scan().filter(
         F.col("url") >= "https://site030"
     ).count()
+
+
+# ------------------------------------------------- incremental clustering
+
+
+def test_incremental_cluster_rewrites_only_new_files(spark, tmp_path):
+    """Daily OPTIMIZE...ZORDER at 10^12 docs can't rewrite the whole table:
+    scope="incremental" clusters only files added after the last cluster-*
+    snapshot, leaving previously clustered files byte-identical on disk,
+    while full and pruned scans stay exact (north-rule invariant)."""
+    df = generate_pages(spark, 1200, seed=41, partitions=5)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "inc"), df)
+    total = sum(f.size_bytes for f in tbl.live_files())
+    snap1 = zorder_by(tbl, curve="morton", target_file_bytes=max(1, total // 6))
+    clustered_paths = {f.path for f in tbl.live_files()}
+
+    # new day's append — later revision shifts warc_ts
+    tbl.append(generate_pages(spark, 400, seed=42, partitions=3, revision=6))
+    before_rows = table_rows(tbl)
+    new_paths = {f.path for f in tbl.live_files()} - clustered_paths
+    assert len(new_paths) == 3
+
+    snap2 = zorder_by(
+        tbl, curve="morton", target_file_bytes=max(1, total // 6),
+        scope="incremental",
+    )
+    assert snap2 is not None and snap2.operation == "cluster-morton"
+    assert snap2.summary["cluster_scope"] == "incremental"
+    assert snap2.summary["cluster_files_in"] == 3, "only the appended files"
+
+    after = {f.path for f in tbl.live_files()}
+    assert clustered_paths <= after, "previously clustered files untouched"
+    assert not (new_paths & after), "unclustered appends were rewritten"
+    assert table_rows(tbl) == before_rows, "full scan identical"
+
+    # pruned scan still exact vs a full-scan filter
+    mid = datetime.datetime(2023, 11, 29)
+    pred = [Predicate("warc_ts", ">", mid)]
+    assert tbl.scan(pred).count() == tbl.scan().filter(
+        F.col("warc_ts") > F.lit(mid)
+    ).count()
+
+    # an immediate re-run finds nothing to do and commits nothing
+    v = tbl.current_version()
+    assert zorder_by(tbl, curve="morton", scope="incremental") is None
+    assert tbl.current_version() == v
+
+
+def test_predicate_scoped_cluster(spark, tmp_path):
+    """predicates=[...] restricts the rewrite to stats-overlapping files
+    (Iceberg rewriteDataFiles file-filter analog)."""
+    tbl = None
+    for i in range(4):
+        d = generate_pages(spark, 150, seed=51 + i, partitions=2, revision=i)
+        if tbl is None:
+            tbl = IcehouseTable.create(spark, str(tmp_path / "ps"), d)
+        else:
+            tbl.append(d)
+    before_rows = table_rows(tbl)
+    n_files = len(tbl.live_files())
+    # revisions shift warc_ts +35d each over a 30d spread (base 2023-11-14):
+    # this cutoff is past rev 0/1 max, inside rev 2/3 → strict file subset
+    cutoff = datetime.datetime(2024, 1, 20)
+    scoped = tbl.planned_files([Predicate("warc_ts", ">", cutoff)])
+    assert 0 < len(scoped) < n_files, "predicate must select a strict subset"
+    snap = zorder_by(
+        tbl, curve="morton", target_file_bytes=1,
+        predicates=[Predicate("warc_ts", ">", cutoff)],
+    )
+    assert snap.summary["cluster_files_in"] == len(scoped)
+    assert table_rows(tbl) == before_rows
