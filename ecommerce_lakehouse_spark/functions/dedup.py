@@ -121,18 +121,42 @@ def minhash_lsh_candidates(
 # ------------------------------------------------------- n-gram Jaccard
 
 def jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     explode(shingles) → self-join on shingle → |A∩B| per pair → J =
     |A∩B| / (|A|+|B|-|A∩B|). The shingle join bounds the pair space to
     documents with actual overlap (inverted-index pattern).
+
+    ``max_df`` caps the posting-list blowup: a shingle shared by k docs
+    yields k²/2 join rows, and at web scale boilerplate shingles ("click
+    here to") hit millions of docs → 10¹² intermediate pairs. Shingles with
+    document frequency > max_df are dropped BEFORE the self-join (standard
+    IR practice), and per-doc set sizes are recomputed over the retained
+    shingles so the result is the true Jaccard of the filtered sets. The
+    dropped-shingle set is tiny by construction (only hot shingles), so the
+    anti-join broadcasts.
     """
+    from pyspark.sql.window import Window
+
     base = df.select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col)).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    ex = base.select("__id", "n_sh", F.explode("sh").alias("s"))
+    )
+    ex = base.select("__id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df_s"))
+            .filter(F.col("df_s") > max_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    ex = ex.withColumn("n_sh", F.count("*").over(Window.partitionBy("__id")))
     a = ex.select(
         F.col("__id").alias("id_a"), F.col("n_sh").alias("na"), F.col("s")
     )
@@ -155,17 +179,34 @@ def jaccard_pairs(
     )
 
 
-def sql_jaccard_pairs(table: str, text_col: str, id_col: str, threshold: float) -> str:
+def sql_jaccard_pairs(
+    table: str,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_df: int | None = None,
+) -> str:
     sh = sql_shingles(text_col)
+    df_filter = (
+        f""", hot AS (
+  SELECT s FROM ex GROUP BY s HAVING COUNT(*) > {max_df}
+), kept AS (
+  SELECT ex.__id, ex.s FROM ex ANTI JOIN hot USING (s)
+)"""
+        if max_df is not None
+        else ", kept AS (SELECT __id, s FROM ex)"
+    )
     return f"""
 WITH base AS (
-  SELECT {id_col} AS __id, {sh} AS sh, len({sh}) AS n_sh FROM {table}
+  SELECT {id_col} AS __id, {sh} AS sh FROM {table}
 ), ex AS (
-  SELECT __id, n_sh, unnest(sh) AS s FROM base
+  SELECT __id, unnest(sh) AS s FROM base
+){df_filter}, sized AS (
+  SELECT __id, s, COUNT(*) OVER (PARTITION BY __id) AS n_sh FROM kept
 ), inter AS (
   SELECT a.__id AS id_a, b.__id AS id_b, a.n_sh AS na, b.n_sh AS nb,
          COUNT(*) AS n_inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.__id < b.__id
+  FROM sized a JOIN sized b ON a.s = b.s AND a.__id < b.__id
   GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b, n_inter,
@@ -222,8 +263,9 @@ def hamming16(a: Column, b: Column) -> Column:
 def cosine_near_dup_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold (brute force — the exactness baseline;
-    the LSH-bucketed scale path lives in functions/similarity.py)."""
+    """All-pairs cosine ≥ threshold (brute force — TEST-ONLY exactness
+    baseline: the id_a < id_b theta join is a cartesian product, 10¹⁸ pairs
+    at 10⁹ embeddings. The production path is cosine_near_dup_pairs_lsh)."""
     from .similarity import cosine_expr
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -231,6 +273,51 @@ def cosine_near_dup_pairs(
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_dims: int,
+    n_planes: int = 12,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs via signed-random-projection LSH bands + exact cosine
+    re-check — the 10^12-scale path.
+
+    Candidates = pairs sharing ≥1 signature band (an equi-join on
+    (band, bucket): cost is per-bucket, never all-pairs); each candidate is
+    then verified with the exact cosine. Recall is tuned by n_planes /
+    band_bits — at threshold ≥0.9 the angle between near-dups is ≤26°, so
+    P(bit agrees) ≥ 0.86 and P(some 4-bit band matches) ≥ 1-(1-0.86⁴)³ ≈ 0.93;
+    more bands push it arbitrarily close to 1. Hyperplanes are md5-derived
+    (functions/similarity._plane_sign), so signatures are reproducible across
+    runs AND engines — the DuckDB oracle replicates them bit-for-bit.
+    """
+    from .similarity import cosine_expr, signature_bands
+
+    bands = signature_bands(
+        df, id_col, vec_col, n_dims, n_planes, band_bits, "__id", "v"
+    )
+    a = bands.select(
+        "band", "bucket", F.col("__id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = bands.select(
+        "band", "bucket", F.col("__id").alias("id_b"), F.col("v").alias("vb")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

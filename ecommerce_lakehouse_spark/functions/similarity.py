@@ -102,6 +102,42 @@ def signed_projection_signature(
     return sig
 
 
+def signature_bands(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_dims: int,
+    n_planes: int,
+    band_bits: int,
+    out_id: str,
+    out_vec: str,
+) -> DataFrame:
+    """Explode each vector into (band, bucket) rows from its b-bit signature.
+    Shared by LSH ANN and LSH near-dup — the band equi-join is what replaces
+    all-pairs products at scale."""
+    sig = signed_projection_signature(F.col(vec_col), n_dims, n_planes)
+    d = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec), sig.alias("sig")
+    )
+    n_bands = max(1, n_planes // band_bits)
+    mask = (1 << band_bits) - 1
+    bands = [
+        d.select(
+            out_id,
+            out_vec,
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sig"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    out = bands[0]
+    for x in bands[1:]:
+        out = out.unionByName(x)
+    return out
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -120,31 +156,12 @@ def lsh_ann_topk(
     """
     from pyspark.sql.window import Window
 
-    def with_bands(df: DataFrame, idc: str, vc: str, out_id: str, out_vec: str):
-        sig = signed_projection_signature(F.col(vc), n_dims, n_planes)
-        d = df.select(
-            F.col(idc).alias(out_id), F.col(vc).alias(out_vec), sig.alias("sig")
-        )
-        n_bands = max(1, n_planes // band_bits)
-        mask = (1 << band_bits) - 1
-        bands = [
-            d.select(
-                out_id,
-                out_vec,
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("sig"), b * band_bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-        out = bands[0]
-        for x in bands[1:]:
-            out = out.unionByName(x)
-        return out
-
-    qb = with_bands(queries, id_col, vec_col, "query_id", "qv")
-    cb = with_bands(vectors, id_col, vec_col, "neighbor_id", "cv")
+    qb = signature_bands(
+        queries, id_col, vec_col, n_dims, n_planes, band_bits, "query_id", "qv"
+    )
+    cb = signature_bands(
+        vectors, id_col, vec_col, n_dims, n_planes, band_bits, "neighbor_id", "cv"
+    )
     cand = (
         qb.join(cb, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -160,6 +177,42 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ------------------------------------------------------- SQL mirrors (LSH)
+
+SQL_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return SQL_COSINE.format(a=a, b=b)
+
+
+def sql_signature(vec_expr: str, n_dims: int, n_planes: int) -> str:
+    """DuckDB expression computing the SAME b-bit signature as
+    signed_projection_signature: the ±1 hyperplanes are md5-derived
+    constants, so they embed as literal arrays; list_dot_product and
+    Spark's zip_with+aggregate both fold left-to-right in double precision,
+    so the sign tests agree bit-for-bit."""
+    terms = []
+    for p in range(n_planes):
+        signs = [_plane_sign(p, d) for d in range(n_dims)]
+        arr = "[" + ", ".join(f"{s:.1f}" for s in signs) + "]"
+        proj = f"list_dot_product({vec_expr}, {arr})"
+        terms.append(
+            f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_band_values(n_planes: int, band_bits: int) -> str:
+    """VALUES list enumerating band indices: (VALUES (0),(1),...) b(band)."""
+    n_bands = max(1, n_planes // band_bits)
+    return "(VALUES " + ", ".join(f"({b})" for b in range(n_bands)) + ") b(band)"
 
 
 # ------------------------------------------------------------------- IVF

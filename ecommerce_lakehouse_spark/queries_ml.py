@@ -124,15 +124,21 @@ FROM exploded a JOIN exploded b
 SQL_MINHASH_LSH_PAIRS = _sql_minhash_lsh_pairs()
 
 JACCARD_THRESHOLD = 0.35
+# posting-list cap: shingles in more docs than this are dropped pre-join
+# (k docs sharing a shingle → k²/2 join rows; boilerplate shingles at web
+# scale hit millions of docs). Same constant in the Spark plan and the SQL.
+JACCARD_MAX_DF = 100
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, "text", "doc_id", JACCARD_THRESHOLD)
+    return D.jaccard_pairs(
+        docs, "text", "doc_id", JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
 
 
 SQL_NGRAM_JACCARD_PAIRS = D.sql_jaccard_pairs(
-    "documents", "text", "doc_id", JACCARD_THRESHOLD
+    "documents", "text", "doc_id", JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
 )
 
 
@@ -145,23 +151,42 @@ SQL_SIMHASH = f"SELECT doc_id, {D.sql_simhash('text')} AS simhash16 FROM documen
 
 
 COSINE_DUP_THRESHOLD = 0.99
+EMB_DIMS = 64
+LSH_PLANES = 12
+LSH_BAND_BITS = 4
 
 
 def q_cosine_near_dup(spark, sf_dir):
+    """LSH band candidates + exact cosine re-check (the bounded scale path;
+    all-pairs brute force is test-only). Oracle replicates the same bands."""
     emb = t(spark, sf_dir, "embeddings")
-    return D.cosine_near_dup_pairs(emb, "embedding", "vec_id", COSINE_DUP_THRESHOLD).select(
-        "id_a", "id_b"
-    )
+    return D.cosine_near_dup_pairs_lsh(
+        emb, "embedding", "vec_id", COSINE_DUP_THRESHOLD,
+        n_dims=EMB_DIMS, n_planes=LSH_PLANES, band_bits=LSH_BAND_BITS,
+    ).select("id_a", "id_b")
 
 
-SQL_COSINE_NEAR_DUP = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.e, b.e)
-      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-      >= {COSINE_DUP_THRESHOLD}
+def _sql_cosine_near_dup() -> str:
+    sig = S.sql_signature("e", EMB_DIMS, LSH_PLANES)
+    mask = (1 << LSH_BAND_BITS) - 1
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {sig} AS sig FROM v),
+bands AS (
+  SELECT vec_id, e, band, (sig >> (band * {LSH_BAND_BITS})) & {mask} AS bucket
+  FROM sig, {S.sql_band_values(LSH_PLANES, LSH_BAND_BITS)}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, a.e AS ea, b.vec_id AS id_b, b.e AS eb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b FROM cand
+WHERE {S.sql_cosine('ea', 'eb')} >= {COSINE_DUP_THRESHOLD}
 """
+
+
+SQL_COSINE_NEAR_DUP = _sql_cosine_near_dup()
 
 
 # ------------------------------------------------------- similarity search
@@ -194,19 +219,104 @@ WHERE rank <= {ANN_K}
 """
 
 
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-cell ANN (deterministic sampled centroids) — rows-only check."""
+    """IVF-cell ANN (deterministic stride centroids). The centroids, cell
+    assignment, probe routing, and re-rank are all md5/stride-deterministic,
+    so the DuckDB oracle replicates the whole index bit-for-bit."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
-    return S.ivf_ann_topk(emb, queries, k=ANN_K, n_cells=16, n_probe=4)
+    return S.ivf_ann_topk(emb, queries, k=ANN_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN — the scale path; no SQL oracle (signature planes are
-    engine-side constants), driver records the rows-only check."""
+    """LSH-bucketed ANN — the scale path. Hyperplanes are md5-derived
+    constants, so the oracle recomputes identical signatures in SQL."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
-    return S.lsh_ann_topk(emb, queries, n_dims=64, k=ANN_K)
+    return S.lsh_ann_topk(emb, queries, n_dims=EMB_DIMS, k=ANN_K)
+
+
+def _sql_ann_lsh_topk() -> str:
+    sig = S.sql_signature("e", EMB_DIMS, LSH_PLANES)
+    mask = (1 << LSH_BAND_BITS) - 1
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {sig} AS sig FROM v),
+bands AS (
+  SELECT vec_id, e, band, (sig >> (band * {LSH_BAND_BITS})) & {mask} AS bucket
+  FROM sig, {S.sql_band_values(LSH_PLANES, LSH_BAND_BITS)}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, q.e AS qv,
+                  c.vec_id AS neighbor_id, c.e AS cv
+  FROM bands q JOIN bands c
+    ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {ANN_N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {S.sql_cosine('qv', 'cv')} AS cosine FROM cand
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {ANN_K}
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
+
+
+def _sql_ann_ivf_topk() -> str:
+    cos_assign = S.sql_cosine("v.e", "c.cv")
+    cos_probe = S.sql_cosine("q.e", "c.cv")
+    cos_rank = S.sql_cosine("qv", "cv")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+params AS (SELECT GREATEST(1, COUNT(*) // {IVF_CELLS}) AS stride FROM v),
+cent AS (
+  SELECT CAST(vec_id / stride AS INT) AS cell_id, e AS cv
+  FROM v, params
+  WHERE vec_id % stride = 0 AND vec_id / stride < {IVF_CELLS}
+),
+ass AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_assign} DESC, c.cell_id) AS rn
+    FROM v CROSS JOIN cent c)
+  WHERE rn = 1
+),
+inverted AS (
+  SELECT v.vec_id AS neighbor_id, v.e AS cv, ass.cell_id
+  FROM v JOIN ass USING (vec_id)
+),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.e AS qv, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_probe} DESC, c.cell_id) AS rn
+    FROM v q CROSS JOIN cent c WHERE q.vec_id < {ANN_N_QUERIES})
+  WHERE rn <= {IVF_PROBE}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos_rank} AS cosine
+  FROM probes JOIN inverted USING (cell_id)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {ANN_K}
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk()
 
 
 # ------------------------------------------------------------- multimodal
@@ -304,8 +414,8 @@ ML_REGISTRY: dict = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "cosine_near_dup": (q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "approx_distinct": (q_approx_distinct, None),
     "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
     "multimodal_features": (q_multimodal_features, None),

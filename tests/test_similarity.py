@@ -52,3 +52,94 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, ivf_ann_topk(emb, q, k=5, n_cells=8, n_probe=3).collect()))
     b = sorted(map(tuple, ivf_ann_topk(emb, q, k=5, n_cells=8, n_probe=3).collect()))
     assert a == b
+
+
+# -------------------------------------------- bounded near-dup (round 2)
+
+
+def test_cosine_lsh_finds_planted_near_dups(spark):
+    """The LSH-routed near-dup path (band candidates + exact re-check) finds
+    planted near-identical vectors WITHOUT an all-pairs product, and every
+    returned pair genuinely clears the threshold (no false positives —
+    the exact re-check guarantees precision; bands only affect recall)."""
+    from ecommerce_lakehouse_spark.functions.dedup import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # plant near-dups: copies of vectors 0..9 with one coordinate nudged
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.001)).otherwise(x),
+        ).cast("array<float>").alias("embedding"),
+        F.col("label"),
+    )
+    both = emb.unionByName(planted)
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs_lsh(
+            both, "embedding", "vec_id", 0.99, n_dims=64
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(
+            both, "embedding", "vec_id", 0.99
+        ).collect()
+    }
+    assert len(want) >= 10, "planting failed"
+    assert got <= want, "LSH path returned a pair below threshold"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"LSH near-dup recall too low: {recall}"
+
+
+def test_cosine_lsh_plan_has_no_cartesian(spark):
+    """The scale guarantee itself: the LSH plan contains no cartesian/BNL
+    join (the brute-force baseline does — that's why it's test-only)."""
+    from ecommerce_lakehouse_spark.functions.dedup import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    lsh_plan = cosine_near_dup_pairs_lsh(
+        emb, "embedding", "vec_id", 0.99, n_dims=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in lsh_plan
+    assert "BroadcastNestedLoopJoin" not in lsh_plan
+    brute_plan = cosine_near_dup_pairs(
+        emb, "embedding", "vec_id", 0.99
+    )._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "CartesianProduct" in brute_plan
+        or "BroadcastNestedLoopJoin" in brute_plan
+    ), "baseline should be the all-pairs shape (sanity check of the check)"
+
+
+def test_jaccard_max_df_bounds_hot_shingles(spark):
+    """A deliberately hot shingle (shared by every doc) must NOT blow up the
+    pair space: with max_df set, the hot shingle is dropped pre-join, the
+    intermediate row count stays bounded, and genuinely similar pairs are
+    still found via their other shingles."""
+    from ecommerce_lakehouse_spark.functions.dedup import jaccard_pairs
+
+    boiler = "click here to subscribe now please"  # one hot 6-gram of words
+    rows = []
+    for i in range(60):
+        rows.append((i, f"{boiler} unique words document number {i} body text"))
+    # two real near-dups sharing most non-boilerplate shingles
+    rows.append((1000, f"{boiler} the quick brown fox jumps over the lazy dog"))
+    rows.append((1001, f"{boiler} the quick brown fox jumps over the lazy cat"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = jaccard_pairs(df, "text", "doc_id", 0.3, max_df=30)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1000, 1001) in pairs, "near-dup pair must survive the df cap"
+    # the boilerplate shingles are in all 62 docs: uncapped they alone would
+    # connect every doc pair (62*61/2 = 1891); capped, only real overlaps join
+    assert len(pairs) < 100, f"pair space not bounded: {len(pairs)}"
+    uncapped = jaccard_pairs(df, "text", "doc_id", 0.3, max_df=None)
+    assert uncapped.count() >= len(pairs)
