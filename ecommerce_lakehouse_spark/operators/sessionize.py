@@ -12,9 +12,12 @@ the reference's silver/gold incremental layer as reusable operators.
   the affected grain → exact re-aggregate of just that grain
   (``daily_sales_summary.py:30-42``, ``hourly_traffic_metrics.py:70-93``).
 
-Skew note: the distinct-key side is small by construction → broadcast; the
-big side never shuffles for the semi-join. The session window shuffles once
-on the entity key; AQE skew-split handles hot entities.
+Skew note: the distinct-key side is USUALLY small → broadcast, and the big
+side never shuffles for the semi-join. But a late-data storm can touch 10⁸
+keys, and broadcasting that OOMs the driver and every executor — so the
+broadcast is COUNTED (hybrid_key_scope), falling back to a shuffle join past
+the same key-count threshold merge_into uses. The session window shuffles
+once on the entity key; AQE skew-split handles hot entities.
 """
 
 from __future__ import annotations
@@ -25,7 +28,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .merge import BROADCAST_KEY_LIMIT
+
 DEFAULT_GAP_SECONDS = 1800  # 30-minute inactivity window (BRD FR-010)
+
+
+def hybrid_key_scope(
+    full: DataFrame,
+    keys_df: DataFrame,
+    keys: list[str] | str,
+    key_limit: int = BROADCAST_KEY_LIMIT,
+) -> DataFrame:
+    """Scope ``full`` to the rows whose key appears in ``keys_df`` — counted
+    broadcast: the key set is broadcast only when its exact count is under
+    ``key_limit`` (merge_into's threshold); larger sets take the shuffle
+    join. One count() action on the (already distinct) key set buys plan
+    safety at any scale."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    probe = F.broadcast(keys_df) if keys_df.count() <= key_limit else keys_df
+    return full.join(probe, keys, "inner")
 
 
 def _us(col: Column) -> Column:
@@ -103,12 +124,14 @@ def recompute_affected(
     incremental: DataFrame,
     key_cols: list[str] | str,
     aggregate: Callable[[DataFrame], DataFrame],
+    key_limit: int = BROADCAST_KEY_LIMIT,
 ) -> DataFrame:
     """Re-aggregate ONLY the grain touched by the incremental slice: the
-    distinct affected keys are broadcast into a semi-join against the full
-    table, then ``aggregate`` runs over exactly those groups."""
+    distinct affected keys scope a join against the full table (counted
+    broadcast — see hybrid_key_scope), then ``aggregate`` runs over exactly
+    those groups."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    scoped = full.join(F.broadcast(affected_keys(incremental, keys)), keys, "inner")
+    scoped = hybrid_key_scope(full, affected_keys(incremental, keys), keys, key_limit)
     return aggregate(scoped)
 
 
@@ -136,10 +159,8 @@ def maintain_sessions_table(
     from ..table.format import IcehouseTable
     from .merge import merge_into
 
-    scoped = all_events.join(
-        F.broadcast(affected_keys(incremental_events, entity_col)),
-        entity_col,
-        "inner",
+    scoped = hybrid_key_scope(
+        all_events, affected_keys(incremental_events, entity_col), entity_col
     )
     sess = sessionize(
         scoped, entity_col, ts_col, gap_seconds,

@@ -408,12 +408,16 @@ WHERE old_status IS DISTINCT FROM new_status
 
 def q_affected_keys_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data pattern: incremental slice → distinct affected keys →
-    broadcast semi-join pulls ALL rows of the affected grain → full re-agg.
-    Avoids whole-table recompute while keeping cross-row metrics exact."""
+    counted-broadcast join pulls ALL rows of the affected grain → full
+    re-agg. Avoids whole-table recompute while keeping cross-row metrics
+    exact; a huge affected set falls back to the shuffle join instead of
+    OOMing the broadcast (operators/sessionize.hybrid_key_scope)."""
+    from .operators.sessionize import hybrid_key_scope
+
     li = t(spark, sf_dir, "lineitem")
     incr = li.filter(F.col("l_shipdate") > F.lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
     affected = incr.select("l_orderkey").distinct()
-    full = li.join(F.broadcast(affected), "l_orderkey", "inner")
+    full = hybrid_key_scope(li, affected, "l_orderkey")
     return full.groupBy("l_orderkey").agg(
         F.count("*").alias("line_count"),
         dsum(F.col("l_quantity")).alias("total_qty"),

@@ -165,3 +165,31 @@ def test_recompute_affected_matches_full_recompute(spark, sf_dir="/root/testdata
     keys = [r.l_orderkey for r in incr.select("l_orderkey").distinct().collect()]
     want = agg(li.filter(F.col("l_orderkey").isin(keys)))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_hybrid_key_scope_large_set_takes_shuffle_path(spark, sf_dir="/root/testdata/sf0.001"):
+    """A late-data storm touching more keys than the broadcast limit must
+    NOT be broadcast (an unbounded broadcast OOMs at scale): past the
+    threshold the plan joins without a BroadcastHashJoin, and the results
+    are identical either way."""
+    from ecommerce_lakehouse_spark.operators.sessionize import hybrid_key_scope
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys_df = li.select("l_orderkey").distinct()
+
+    # disable auto-broadcast so the COUNTED hint is the only broadcast source
+    # (at real scale Catalyst wouldn't auto-broadcast a 10^8-key set anyway;
+    # the bug class being prevented is the FORCED broadcast hint)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = hybrid_key_scope(li, keys_df, "l_orderkey", key_limit=10**9)
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_small, "under limit → broadcast hint"
+
+        big = hybrid_key_scope(li, keys_df, "l_orderkey", key_limit=1)
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big, "over limit → no forced hint"
+        assert big.count() == small.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
