@@ -12,11 +12,18 @@ retained snapshots.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from dataclasses import dataclass
 
 from ..table.format import IcehouseTable, Snapshot
+
+# Orphan sweeps may never run with zero grace: a staged-but-uncommitted
+# rewrite's outputs look orphaned until the commit lands. 10 minutes is far
+# beyond any stage→commit latency; the only exception is tests, which pass
+# unsafe_grace_for_tests explicitly.
+MIN_ORPHAN_GRACE_MS = 10 * 60 * 1000
 
 
 @dataclass
@@ -35,7 +42,13 @@ def expire_snapshots(
     orphan_grace_ms: int = 3_600_000,
 ) -> ExpireResult:
     """Expire all but the newest ``keep_last`` snapshots (and, if given, any
-    snapshot newer than ``older_than_ms`` survives regardless)."""
+    snapshot newer than ``older_than_ms`` survives regardless).
+
+    Orphan-sweep safety: staged outputs of UNFINISHED ledger jobs (a
+    compaction/merge mid-rewrite — tracked only in the ledger until their
+    final commit) are never swept, and the grace period is clamped to
+    MIN_ORPHAN_GRACE_MS so a racing stage→commit window can't be deleted
+    out from under a writer that doesn't use the ledger."""
     md = table.load_metadata()
     snaps = [Snapshot.from_json(s) for s in md["snapshots"]]
     snaps.sort(key=lambda s: s.snapshot_id)
@@ -112,21 +125,51 @@ def expire_snapshots(
             deleted_manifests += 1
 
     if clean_orphans:
-        _sweep_orphans(table, live_data, time.time() * 1000 - orphan_grace_ms)
+        grace = max(orphan_grace_ms, MIN_ORPHAN_GRACE_MS)
+        _sweep_orphans(table, live_data, time.time() * 1000 - grace)
 
     return ExpireResult(
         [s.snapshot_id for s in expired], deleted_data, deleted_manifests, freed
     )
 
 
+def _ledger_protected_paths(table: IcehouseTable) -> set[str]:
+    """Relative paths staged by ledger jobs that have NOT finished: a later
+    resume will adopt these outputs into a commit, so the sweep must not
+    touch them. Finished jobs' outputs are already in a snapshot (or truly
+    orphaned and old enough to age out via the grace period)."""
+    protected: set[str] = set()
+    if not os.path.isdir(table.ledger_dir):
+        return protected
+    for job_id in os.listdir(table.ledger_dir):
+        jdir = os.path.join(table.ledger_dir, job_id)
+        if not os.path.isdir(jdir):
+            continue
+        if os.path.exists(os.path.join(jdir, "_SUCCESS.json")):
+            continue  # job committed — its outputs are snapshot-referenced
+        for name in os.listdir(jdir):
+            if not (name.startswith("unit-") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(jdir, name)) as f:
+                    rec = json.load(f)
+                for out in rec.get("outputs", []):
+                    protected.add(out["path"])
+            except (OSError, json.JSONDecodeError, KeyError):
+                continue  # unreadable unit: be conservative elsewhere
+    return protected
+
+
 def _sweep_orphans(table: IcehouseTable, live_data: set[str], cutoff_ms: float):
     """Delete staged data files no snapshot references (failed/abandoned
-    writes) once they're older than the grace period."""
+    writes) once they're older than the grace period — excluding outputs of
+    unfinished ledger jobs (a resumable rewrite in progress)."""
     if not os.path.isdir(table.data_dir):
         return
+    protected = _ledger_protected_paths(table)
     for name in os.listdir(table.data_dir):
         rel = os.path.join("data", name)
-        if rel in live_data:
+        if rel in live_data or rel in protected:
             continue
         p = os.path.join(table.data_dir, name)
         try:

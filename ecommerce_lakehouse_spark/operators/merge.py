@@ -123,7 +123,12 @@ def merge_into(
     ``preserve_cols``); a column list → partial-update semantics (M4);
     delete_matched=True → MERGE ... WHEN MATCHED DELETE.
 
-    Source must be key-unique (pre-dedup with :func:`dedup_latest`).
+    Source must be key-unique (pre-dedup with :func:`dedup_latest`), and
+    NULL merge keys are rejected: the discovery semi-join and insert
+    anti-join are null-unsafe while the rewrite join is null-safe, so a
+    null-key row would be both updated and re-inserted — instead of
+    silently duplicating, the merge raises. Filter or coalesce null keys
+    upstream (target rows with null keys pass through untouched).
     """
     spark = table.spark
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
@@ -132,14 +137,25 @@ def merge_into(
 
     source = source.select(*tcols) if not delete_matched else source
 
-    # one prep job: key bounds (for stats pruning) + exact distinct key count
+    # one prep job: key bounds (for stats pruning) + exact distinct key
+    # count + null-key guard — all in a single action over the source
+    any_null = F.lit(False)
+    for k in keys:
+        any_null = any_null | F.col(k).isNull()
     src_keys = source.select(*keys).distinct()
     prep = source.agg(
         *[F.min(k).alias(f"lo_{k}") for k in keys],
         *[F.max(k).alias(f"hi_{k}") for k in keys],
         F.count_distinct(*[F.col(k) for k in keys]).alias("__nkeys"),
+        F.count(F.when(any_null, 1)).alias("__null_keys"),
     ).first()
     n_src_keys = prep["__nkeys"]
+    if prep["__null_keys"]:
+        raise ValueError(
+            f"merge_into: {prep['__null_keys']} source row(s) have NULL in "
+            f"merge key(s) {keys}; null keys are unsupported — filter or "
+            f"coalesce them before merging"
+        )
     candidates = _prune_candidates(table.live_files(), prep, keys)
     if salt_buckets:
         # Deterministic salt spreads one hot key across buckets for the

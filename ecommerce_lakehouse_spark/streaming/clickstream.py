@@ -12,10 +12,14 @@ Pipeline parity (SURVEY §2.9, §3.2):
   fan-out rationale)
 - ``trigger(availableNow=True)`` drain-and-stop scheduling (``:226``,
   ``docs/kafka-concepts.md:224-237``)
-- exactly-once: Structured Streaming checkpoints offsets per micro-batch and
-  the Icehouse appends are atomic snapshots; replays of a failed batch
-  re-append deterministically keyed data (same two-phase offsets/commits
-  pattern the reference documents for Delta, ``kafka-concepts.md:114-169``).
+- exactly-once: Structured Streaming checkpoints offsets per micro-batch,
+  and because foreachBatch is only at-least-once (a crash between append and
+  checkpoint commit replays the batch), every append carries a
+  ``txn=(stream_id, batch_id)`` marker recorded atomically in the table's
+  properties — replays of an already-committed batch are skipped (Delta's
+  txnAppId/txnVersion pattern, ``kafka-concepts.md:114-169``). Each sink
+  table tracks its own marker, so a crash after the valid-append but before
+  the dead-letter append replays ONLY the missing sink.
 """
 
 from __future__ import annotations
@@ -94,9 +98,12 @@ def route_batch(
     dead_table: IcehouseTable,
     stats: StreamStats,
     now=None,
+    stream_id: str = "clickstream",
 ) -> None:
     """Split ONE micro-batch into valid events + dead letters and append both
-    (single source read → two sinks, stream_clickstream.py:160-227)."""
+    (single source read → two sinks, stream_clickstream.py:160-227).
+    Appends are txn-marked per (stream_id, batch_id): a foreachBatch replay
+    of an already-committed batch is a no-op on that sink."""
     flagged = parse_and_flag(batch_df).persist()
     ingest_ts = (
         F.lit(now).cast("timestamp_ntz") if now
@@ -127,10 +134,10 @@ def route_batch(
         )
         n_valid = valid.count()
         n_dead = dead.count()
-        if n_valid:
-            valid_table.append(valid)
-        if n_dead:
-            dead_table.append(dead)
+        if n_valid and valid_table.append(valid, txn=(stream_id, batch_id)) is None:
+            n_valid = 0  # replayed batch — already in the table
+        if n_dead and dead_table.append(dead, txn=(stream_id, batch_id)) is None:
+            n_dead = 0
         stats.batches += 1
         stats.valid_rows += n_valid
         stats.dead_rows += n_dead
@@ -156,9 +163,13 @@ def run_clickstream_ingest(
     stats = StreamStats()
 
     stream = read_file_stream(spark, source_path)
+    # the checkpoint identifies the stream across restarts → txn app id
+    stream_id = f"clickstream:{checkpoint_path}"
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, bid: route_batch(df, bid, valid_table, dead_table, stats, now)
+            lambda df, bid: route_batch(
+                df, bid, valid_table, dead_table, stats, now, stream_id
+            )
         )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)

@@ -83,10 +83,12 @@ def run_streaming_sessionization(
     ).parquet(source_path)
     sessions = streaming_sessionize(events, "user_id", "ts", gap, watermark_delay)
 
-    def sink(batch_df: DataFrame, _bid: int) -> None:
+    stream_id = f"sessions:{checkpoint_path}"
+
+    def sink(batch_df: DataFrame, bid: int) -> None:
+        # foreachBatch is at-least-once: txn marker makes replays no-ops
         n = batch_df.count()
-        if n:
-            tbl.append(batch_df)
+        if n and tbl.append(batch_df, txn=(stream_id, bid)) is not None:
             appended["n"] += n
 
     q = (

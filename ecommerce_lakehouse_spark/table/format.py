@@ -269,16 +269,32 @@ class IcehouseTable:
         properties: dict | None = None,
         max_retries: int = 10,
         extra_summary: dict | None = None,
-    ) -> Snapshot:
+        txn: tuple[str, int] | None = None,
+    ) -> Snapshot | None:
         """Optimistic commit with rebase-and-retry.
 
         Manifests are incremental (Iceberg-style): an append adds ONE new
         manifest and reuses the parent's untouched; a replace rewrites only
         the manifests that reference removed files. Commit metadata cost is
         O(files touched), not O(table) — mandatory at 10^12-doc scale.
+
+        ``txn=(app_id, version)`` makes the commit idempotent per writer
+        (Delta's txnAppId/txnVersion): the highest committed version per
+        app_id is stored in table properties IN the same atomic commit, and
+        a commit at or below it returns None instead of duplicating — the
+        check re-runs inside the CAS retry loop, so a concurrent replay
+        cannot slip through.
         """
         for _attempt in range(max_retries):
             version = self.current_version()
+            if txn is not None and version > 0:
+                prev = self.load_metadata(version).get("properties", {}).get(
+                    f"txn.{txn[0]}"
+                )
+                if prev is not None and int(prev) >= txn[1]:
+                    return None  # replayed batch: already committed
+            if txn is not None:
+                properties = {**(properties or {}), f"txn.{txn[0]}": txn[1]}
             if version == 0:
                 base_entries: list[dict] = []
                 md = {
@@ -386,13 +402,25 @@ class IcehouseTable:
         )
         return tbl
 
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest committed txn version for app_id (None if never)."""
+        v = self.properties().get(f"txn.{app_id}")
+        return int(v) if v is not None else None
+
     def append(self, df: DataFrame, stats_cols: list[str] | None = None,
-               target_partitions: int | None = None) -> Snapshot:
+               target_partitions: int | None = None,
+               txn: tuple[str, int] | None = None) -> Snapshot | None:
+        """Atomic append. ``txn=(app_id, version)`` deduplicates replays of
+        the same (stream, batch) — see _commit. Returns None when skipped."""
+        if txn is not None:
+            last = self.last_txn_version(txn[0])
+            if last is not None and last >= txn[1]:
+                return None  # fast path: skip staging entirely
         added = self._stage_dataframe(
             df, stats_cols, snapshot_id=self.current_version() + 1,
             target_partitions=target_partitions,
         )
-        return self._commit("append", added, set())
+        return self._commit("append", added, set(), txn=txn)
 
     def replace_files(
         self,

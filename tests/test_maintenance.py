@@ -225,6 +225,46 @@ def test_expire_refuses_current(spark, fragmented_table):
         expire_snapshots(fragmented_table, keep_last=0)
 
 
+def test_orphan_sweep_protects_unfinished_ledger_and_fresh_files(spark, tmp_path):
+    """ADVICE r01: staged outputs of an UNFINISHED ledger job (a rewrite in
+    progress — a later resume will commit them) must survive the orphan
+    sweep, as must any file younger than the clamped grace period; a true
+    abandoned orphan older than the grace is swept."""
+    import json as _json
+    import time as _time
+
+    df = generate_pages(spark, 100, seed=61, partitions=2)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "orph"), df)
+    tbl.append(generate_pages(spark, 50, seed=62, partitions=1))
+
+    old = _time.time() - 86400  # 1 day old: past any grace
+    def make_data_file(name, mtime=None):
+        p = os.path.join(tbl.data_dir, name)
+        with open(p, "wb") as f:
+            f.write(b"x" * 64)
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+        return p
+
+    orphan_old = make_data_file("abandoned-stage.parquet", old)
+    orphan_fresh = make_data_file("fresh-stage.parquet")  # now → inside grace
+    staged = make_data_file("ledger-staged.parquet", old)
+
+    # unfinished ledger job (no _SUCCESS) claiming the staged file
+    jdir = os.path.join(tbl.ledger_dir, "compact-snap2-test")
+    os.makedirs(jdir)
+    with open(os.path.join(jdir, "unit-0.json"), "w") as f:
+        _json.dump({"unit_id": "0", "inputs": [],
+                    "outputs": [{"path": "data/ledger-staged.parquet",
+                                 "row_count": 1, "size_bytes": 64}]}, f)
+
+    expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)  # 0 → clamped
+    assert not os.path.exists(orphan_old), "old orphan must be swept"
+    assert os.path.exists(orphan_fresh), "fresh file inside grace survives"
+    assert os.path.exists(staged), "unfinished-ledger output must survive"
+    assert tbl.scan().count() == 150
+
+
 def test_expire_shared_files_survive(spark, tmp_path):
     """Files shared between retained and expired snapshots must survive
     (reference counting, not naive per-snapshot delete)."""

@@ -170,3 +170,15 @@ def test_merge_big_source_path_equivalent(spark, base_table):
         m.BROADCAST_KEY_LIMIT = old
     assert res.rows_updated == 25 and res.rows_inserted == 15
     assert base_table.scan().count() == 315
+
+
+def test_merge_rejects_null_keys(spark, base_table):
+    """Null merge keys would be updated by the null-safe rewrite join AND
+    re-inserted by the null-unsafe anti-join (silent duplicate) — merge
+    refuses them up front instead (ADVICE r01)."""
+    delta = generate_recrawl_delta(spark, base_n=300, n_new=5, n_recrawl=5, seed=23)
+    delta = dedup_latest(delta, ["url"], "warc_ts").withColumn(
+        "url", F.when(F.rand(seed=1) < 0.3, F.lit(None)).otherwise(F.col("url"))
+    )
+    with pytest.raises(ValueError, match="NULL in merge key"):
+        merge_into(base_table, delta, "url")

@@ -40,6 +40,32 @@ def test_append_creates_new_snapshot(spark, pages_table):
     assert snap.summary["total_rows"] == 500
 
 
+def test_txn_append_is_idempotent(spark, pages_table):
+    """Delta-style (txnAppId, txnVersion) dedup: replaying the same
+    (stream, batch) append is a no-op — the foreachBatch at-least-once
+    contract becomes exactly-once per sink table."""
+    delta = generate_pages(spark, 50, seed=11, partitions=1)
+    snap = pages_table.append(delta, txn=("streamA", 7))
+    assert snap is not None
+    assert pages_table.scan().count() == 450
+    assert pages_table.last_txn_version("streamA") == 7
+
+    # replay of the same batch: skipped, no new snapshot
+    v = pages_table.current_version()
+    assert pages_table.append(delta, txn=("streamA", 7)) is None
+    assert pages_table.current_version() == v
+    assert pages_table.scan().count() == 450
+    # an OLDER batch id is also a replay
+    assert pages_table.append(delta, txn=("streamA", 6)) is None
+
+    # the next batch commits; other app ids are independent
+    assert pages_table.append(delta, txn=("streamA", 8)) is not None
+    assert pages_table.append(delta, txn=("streamB", 1)) is not None
+    assert pages_table.scan().count() == 550
+    assert pages_table.last_txn_version("streamA") == 8
+    assert pages_table.last_txn_version("streamB") == 1
+
+
 def test_stats_collected_per_file(pages_table):
     files = pages_table.live_files()
     assert len(files) == 4
