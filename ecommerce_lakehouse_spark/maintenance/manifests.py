@@ -20,8 +20,13 @@ def rewrite_manifests(
     table: IcehouseTable,
     target_entries: int = 5000,
     sort_by_stat: str | None = None,
+    codec: str | None = None,
 ) -> Snapshot:
-    """Consolidate the current snapshot's manifests; data files unchanged."""
+    """Consolidate the current snapshot's manifests; data files unchanged.
+
+    ``codec="avro"|"jsonl"`` also migrates the manifest format: the rewritten
+    manifests use it and the ``manifest.codec`` property is updated in the
+    SAME commit, so every future manifest follows."""
     for attempt in range(10):
         version = table.current_version()
         md = table.load_metadata(version)
@@ -43,7 +48,7 @@ def rewrite_manifests(
         entries = []
         for i in range(0, len(files), target_entries):
             chunk = files[i : i + target_entries]
-            rel = table._write_manifest(chunk)
+            rel = table._write_manifest(chunk, fmt=codec)
             entries.append(table._manifest_entry(rel, chunk))
 
         list_rel = table._write_manifest_list(entries)
@@ -64,6 +69,8 @@ def rewrite_manifests(
         )
         md["snapshots"] = md["snapshots"] + [new_snap.to_json()]
         md["current_snapshot_id"] = new_snap.snapshot_id
+        if codec is not None:
+            md["properties"] = {**md.get("properties", {}), "manifest.codec": codec}
         if table._try_publish(version + 1, md):
             return new_snap
         time.sleep(0.01 * (attempt + 1))

@@ -151,20 +151,53 @@ class IcehouseTable:
     # ------------------------------------------------------------- manifests
 
     def _read_manifest(self, rel: str) -> list[DataFile]:
+        """Read one manifest — format dispatch on extension, so tables
+        written before the Avro switch (.jsonl) stay readable and
+        rewrite_manifests migrates them in place."""
+        full = os.path.join(self.path, rel)
+        if rel.endswith(".avro"):
+            from .avro_io import read_manifest_avro
+
+            return [
+                DataFile(
+                    r["path"], r["row_count"], r["size_bytes"],
+                    r["stats"], r["added_by"],
+                )
+                for r in read_manifest_avro(full)
+            ]
         out = []
-        with open(os.path.join(self.path, rel)) as f:
+        with open(full) as f:
             for line in f:
                 if line.strip():
                     out.append(DataFile.from_json(json.loads(line)))
         return out
 
-    def _write_manifest(self, files: list[DataFile]) -> str:
-        rel = f"manifests/manifest-{uuid.uuid4().hex}.jsonl"
-        full = os.path.join(self.path, rel)
-        with open(full + ".tmp", "w") as f:
-            for df in files:
-                f.write(json.dumps(df.to_json()) + "\n")
-        os.rename(full + ".tmp", full)
+    def _write_manifest(self, files: list[DataFile], fmt: str | None = None) -> str:
+        """New manifests are Avro (BASELINE north_star: "Avro manifest
+        rewrite"): ~3-5x smaller than JSONL rows and parsed without a JSON
+        tokenizer per entry — at millions of files that is the difference
+        between O(s) and O(min) scan planning. Set table property
+        manifest.codec=jsonl (or pass fmt) to use the legacy format."""
+        if fmt is None:
+            fmt = (
+                "jsonl"
+                if self.exists() and self.properties().get("manifest.codec") == "jsonl"
+                else "avro"
+            )
+        if fmt == "jsonl":
+            rel = f"manifests/manifest-{uuid.uuid4().hex}.jsonl"
+            full = os.path.join(self.path, rel)
+            with open(full + ".tmp", "w") as f:
+                for df in files:
+                    f.write(json.dumps(df.to_json()) + "\n")
+            os.rename(full + ".tmp", full)
+            return rel
+        from .avro_io import write_manifest_avro
+
+        rel = f"manifests/manifest-{uuid.uuid4().hex}.avro"
+        write_manifest_avro(
+            os.path.join(self.path, rel), [df.to_json() for df in files]
+        )
         return rel
 
     def _write_manifest_list(self, entries: list[dict]) -> str:
@@ -344,7 +377,10 @@ class IcehouseTable:
                     f"{operation}: files no longer live: {sorted(remaining)[:3]}..."
                 )
             if added:
-                rel = self._write_manifest(added)
+                # at create time the codec property isn't committed yet —
+                # honor the one being committed right now
+                fmt = (properties or {}).get("manifest.codec")
+                rel = self._write_manifest(added, fmt=fmt)
                 new_entries.append(self._manifest_entry(rel, added))
 
             snapshot_id = version + 1
