@@ -116,6 +116,7 @@ def merge_into(
     delete_matched: bool = False,
     salt_buckets: int | None = None,
     target_file_rows: int | None = None,
+    merge_schema: bool = False,
 ) -> MergeResult:
     """Copy-on-write MERGE of ``source`` into ``table`` on key equality.
 
@@ -133,6 +134,16 @@ def merge_into(
     spark = table.spark
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     schema = table.schema()
+    widened = None
+    if not delete_matched:
+        # schema evolution: with merge_schema the source may ADD nullable
+        # columns — the widened schema commits with the rewrite, and
+        # unaffected old files read back with NULLs (no rewrite of untouched
+        # data). Without it, a wider source raises instead of silently
+        # dropping the new column.
+        widened = table.reconcile_schema(source.schema, merge_schema)
+        if widened is not None:
+            schema = widened
     tcols = [f.name for f in schema.fields]
 
     source = source.select(*tcols) if not delete_matched else source
@@ -312,6 +323,7 @@ def merge_into(
         None,
         operation="merge",
         precomputed_added=added,
+        schema_json=widened.jsonValue() if widened is not None else None,
         extra_summary={
             "merge_updated": n_upd,
             "merge_inserted": n_ins,

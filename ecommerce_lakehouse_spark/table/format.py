@@ -37,7 +37,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from . import stats as stats_mod
 from .predicates import Predicate, prune_files
@@ -438,6 +438,45 @@ class IcehouseTable:
         )
         return tbl
 
+    def reconcile_schema(self, df_schema: StructType, merge_schema: bool) -> StructType | None:
+        """Schema evolution v1: a writer may ADD nullable columns.
+
+        Returns the widened schema (table columns in their existing order +
+        new columns in writer order) when the writer carries extra columns
+        and ``merge_schema`` is on; None when the schemas already agree.
+        Existing columns must keep their exact type — this is evolution, not
+        migration. Readers need no migration either: a parquet scan with the
+        widened schema fills NULL for files written before the new column.
+        """
+        table_schema = self.schema()
+        by_name = {f.name: f for f in df_schema.fields}
+        for f in table_schema.fields:
+            got = by_name.get(f.name)
+            if got is None:
+                raise ValueError(
+                    f"schema evolution: writer is missing table column "
+                    f"{f.name!r} — dropping columns is not supported"
+                )
+            if got.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution: column {f.name!r} type mismatch "
+                    f"(table {f.dataType.simpleString()}, "
+                    f"writer {got.dataType.simpleString()})"
+                )
+        extra = [f for f in df_schema.fields if f.name not in
+                 {t.name for t in table_schema.fields}]
+        if not extra:
+            return None
+        if not merge_schema:
+            raise ValueError(
+                f"writer has new column(s) {[f.name for f in extra]}; pass "
+                f"merge_schema=True to evolve the table schema"
+            )
+        widened = [
+            StructField(f.name, f.dataType, True) for f in table_schema.fields
+        ] + [StructField(f.name, f.dataType, True) for f in extra]
+        return StructType(widened)
+
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest committed txn version for app_id (None if never)."""
         v = self.properties().get(f"txn.{app_id}")
@@ -445,18 +484,29 @@ class IcehouseTable:
 
     def append(self, df: DataFrame, stats_cols: list[str] | None = None,
                target_partitions: int | None = None,
-               txn: tuple[str, int] | None = None) -> Snapshot | None:
+               txn: tuple[str, int] | None = None,
+               merge_schema: bool = False) -> Snapshot | None:
         """Atomic append. ``txn=(app_id, version)`` deduplicates replays of
-        the same (stream, batch) — see _commit. Returns None when skipped."""
+        the same (stream, batch) — see _commit. Returns None when skipped.
+        ``merge_schema=True`` lets the batch ADD nullable columns: the table
+        schema widens in the SAME commit (reconcile_schema); files from
+        before the widening read back with NULLs for the new columns."""
         if txn is not None:
             last = self.last_txn_version(txn[0])
             if last is not None and last >= txn[1]:
                 return None  # fast path: skip staging entirely
+        widened = self.reconcile_schema(df.schema, merge_schema)
+        order = [f.name for f in (widened or self.schema()).fields]
         added = self._stage_dataframe(
-            df, stats_cols, snapshot_id=self.current_version() + 1,
+            df.select(*order), stats_cols,
+            snapshot_id=self.current_version() + 1,
             target_partitions=target_partitions,
         )
-        return self._commit("append", added, set(), txn=txn)
+        return self._commit(
+            "append", added, set(),
+            schema_json=widened.jsonValue() if widened is not None else None,
+            txn=txn,
+        )
 
     def replace_files(
         self,
@@ -467,11 +517,13 @@ class IcehouseTable:
         target_partitions: int | None = None,
         extra_summary: dict | None = None,
         precomputed_added: list[DataFile] | None = None,
+        schema_json: dict | None = None,
     ) -> Snapshot:
         """Copy-on-write primitive: atomically swap removed files for new data.
 
         MERGE, compaction and clustering all reduce to this. ``new_df=None``
-        (with no precomputed files) expresses pure deletion.
+        (with no precomputed files) expresses pure deletion. ``schema_json``
+        widens the table schema in the same commit (schema evolution).
         """
         if precomputed_added is not None:
             added = precomputed_added
@@ -483,7 +535,8 @@ class IcehouseTable:
         else:
             added = []
         return self._commit(
-            operation, added, set(removed_paths), extra_summary=extra_summary
+            operation, added, set(removed_paths), extra_summary=extra_summary,
+            schema_json=schema_json,
         )
 
     def overwrite(self, df: DataFrame, stats_cols: list[str] | None = None,
