@@ -1,0 +1,97 @@
+"""spark.read.format("icehouse"): parity with IcehouseTable.scan, predicate
+pushdown → manifest-stats file pruning, time travel, schema evolution."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_spark.datagen import generate_pages
+from ecommerce_lakehouse_spark.sources.datasource import (
+    IcehouseReader,
+    register,
+)
+from ecommerce_lakehouse_spark.table import IcehouseTable, Predicate
+
+
+def rows_of(df):
+    return sorted((r.url, str(r.warc_ts), r.text, r.lang) for r in df.collect())
+
+
+def test_format_icehouse_matches_scan(spark, tmp_path):
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 300, seed=91, partitions=3),
+    )
+    register(spark)
+    via_ds = spark.read.format("icehouse").load(tbl.path)
+    assert via_ds.schema == tbl.schema()
+    assert rows_of(via_ds) == rows_of(tbl.scan())
+
+
+def test_pushed_predicate_prunes_files_and_matches_scan(spark, tmp_path):
+    # several appends with disjoint revisions → ts ranges prune across files
+    tbl = None
+    for i in range(4):
+        d = generate_pages(spark, 120, seed=92 + i, partitions=1, revision=i)
+        if tbl is None:
+            tbl = IcehouseTable.create(spark, str(tmp_path / "t"), d)
+        else:
+            tbl.append(d)
+    register(spark)
+    cutoff = datetime.datetime(2024, 1, 20)  # past rev 0/1, inside rev 2/3
+
+    via_ds = (
+        spark.read.format("icehouse").load(tbl.path)
+        .filter(F.col("warc_ts") > F.lit(cutoff))
+    )
+    want = tbl.scan([Predicate("warc_ts", ">", cutoff)])
+    assert rows_of(via_ds) == rows_of(want)
+    assert via_ds.count() > 0
+
+    # pruning evidence at the planner level: the reader's partition list
+    # shrinks once the filter is pushed (same prune as the native scan)
+    r = IcehouseReader({"path": tbl.path}, tbl.schema())
+    all_parts = len(r.partitions())
+    r2 = IcehouseReader({"path": tbl.path}, tbl.schema())
+    from pyspark.sql.datasource import GreaterThan
+
+    r2.pushFilters([GreaterThan(("warc_ts",), cutoff)])
+    pruned_parts = len(r2.partitions())
+    assert pruned_parts < all_parts
+    assert pruned_parts == len(tbl.planned_files([Predicate("warc_ts", ">", cutoff)]))
+
+
+def test_snapshot_option_time_travel(spark, tmp_path):
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 100, seed=96, partitions=2),
+    )
+    v1 = tbl.current_snapshot().snapshot_id
+    tbl.append(generate_pages(spark, 50, seed=97, partitions=1))
+    register(spark)
+    old = (
+        spark.read.format("icehouse")
+        .option("snapshot_id", v1).load(tbl.path)
+    )
+    assert old.count() == 100
+    assert spark.read.format("icehouse").load(tbl.path).count() == 150
+
+
+def test_datasource_reads_across_schema_evolution(spark, tmp_path):
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 80, seed=98, partitions=2),
+    )
+    tbl.append(
+        generate_pages(spark, 20, seed=99, partitions=1).withColumn(
+            "fetch_status", F.lit(200).cast("int")
+        ),
+        merge_schema=True,
+    )
+    register(spark)
+    df = spark.read.format("icehouse").load(tbl.path)
+    assert df.count() == 100
+    assert df.filter(F.col("fetch_status").isNull()).count() == 80
+    assert df.filter(F.col("fetch_status") == 200).count() == 20
