@@ -107,6 +107,9 @@ def main() -> None:
         merge_sec = time.time() - t0
         maint["merge_sec"] = round(merge_sec, 3)
         maint["merge_rows_per_sec"] = round(n_delta / merge_sec, 1)
+        msum = tbl.current_snapshot().summary
+        maint["merge_candidates_global"] = msum.get("merge_candidates_global")
+        maint["merge_candidates_scanned"] = msum.get("merge_candidates_scanned")
 
         # compact small files
         t0 = time.time()

@@ -84,14 +84,19 @@ def extract_features(
     n_features: int = 16,
     fake_decode: bool = True,
     batch_bytes: int = 64 * 1024 * 1024,
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """binary → feature vector via mapInPandas (Arrow batches).
 
     Partitions are resized to ≈batch_bytes of payload each, so executor
     memory is bounded by bytes, not row counts (html/image sizes are skewed).
+    Pass ``total_bytes`` from table metadata (manifest byte stats — e.g.
+    ``sum(f.size_bytes for f in table.live_files())``) to skip the sizing
+    scan; without it, one agg pass measures the payload column.
     """
-    total = df.agg(F.sum(F.length(bin_col))).first()[0] or 0
-    n_parts = max(1, int(total // batch_bytes) + 1)
+    if total_bytes is None:
+        total_bytes = df.agg(F.sum(F.length(bin_col))).first()[0] or 0
+    n_parts = max(1, int(total_bytes // batch_bytes) + 1)
     out_schema = (
         ", ".join(f"{c} string" for c in id_cols)
         + f", features array<float>, media_size_bytes long"

@@ -70,6 +70,83 @@ def _candidate_files(table: IcehouseTable, source: DataFrame, key_cols: list[str
     return _prune_candidates(table.live_files(), bounds, key_cols)
 
 
+INTERVAL_ROUTE_MIN_FILES = 8
+
+
+def _interval_candidates(candidates, src_keys: DataFrame, key: str):
+    """Refine global-bounds candidates using the PER-FILE key intervals.
+
+    Global min/max pruning keeps every file when the source spans the key
+    space ("a".."z" keeps all). On a Z-ordered/clustered table, per-file key
+    ranges are narrow and near-disjoint, so routing each source key to the
+    interval(s) covering it cuts the discovery read from "all candidates" to
+    "files that can actually contain a key" — with ZERO data read for the
+    routing itself (manifest stats + one vectorized pass over the key set).
+
+    Conservative by construction: overlapping file intervals are flattened
+    into disjoint groups first (a hit anywhere in a group keeps the whole
+    group), so the result is always a superset of the truly affected files;
+    files without stats are always kept. Exact discovery still runs after.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    with_bounds, always = [], []
+    for f in candidates:
+        st = f.stats.get(key) or {}
+        if st.get("min") is None or st.get("max") is None:
+            always.append(f)
+        else:
+            with_bounds.append((st["min"], st["max"], f))
+    if len(with_bounds) < INTERVAL_ROUTE_MIN_FILES:
+        return candidates
+    with_bounds.sort(key=lambda t: (t[0], t[1]))
+
+    # flatten into disjoint groups of overlapping intervals
+    groups: list[list] = []  # [lo, hi, [files]]
+    for lo, hi, f in with_bounds:
+        if groups and lo <= groups[-1][1]:
+            g = groups[-1]
+            g[1] = max(g[1], hi)
+            g[2].append(f)
+        else:
+            groups.append([lo, hi, [f]])
+    if len(groups) <= 1:
+        # all file ranges overlap into one group (unclustered layout):
+        # routing cannot prune anything — skip its Spark job entirely
+        return candidates
+    glo = np.array([g[0] for g in groups])
+    ghi = np.array([g[1] for g in groups])
+
+    str_bounds = glo.dtype.kind in ("U", "S", "O")
+    if str_bounds:
+        glo = glo.astype(np.str_)
+        ghi = ghi.astype(np.str_)
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's hint inference can't resolve — the explicit
+    # returnType makes this a scalar pandas UDF anyway
+    @pandas_udf("long")
+    def group_of(keys):
+        if str_bounds:
+            k = np.asarray(keys.astype(str).tolist(), dtype=np.str_)
+        else:
+            k = keys.to_numpy()
+        idx = np.searchsorted(glo, k, side="right") - 1
+        ok = idx >= 0
+        hit = np.where(ok & (k <= ghi[np.clip(idx, 0, len(ghi) - 1)]), idx, -1)
+        return pd.Series(hit)
+
+    hit_ids = {
+        r[0]
+        for r in src_keys.select(group_of(src_keys[key])).distinct().collect()
+        if r[0] is not None and r[0] >= 0
+    }
+    kept = always + [f for i in hit_ids for f in groups[i][2]]
+    return kept
+
+
 def _prune_candidates(files, bounds, key_cols: list[str]):
     out = []
     for f in files:
@@ -168,6 +245,11 @@ def merge_into(
             f"coalesce them before merging"
         )
     candidates = _prune_candidates(table.live_files(), prep, keys)
+    n_global_candidates = len(candidates)
+    if candidates and len(keys) == 1:
+        # per-file interval routing: on clustered tables this is what keeps
+        # the discovery read O(touched ranges) instead of O(candidates)
+        candidates = _interval_candidates(candidates, src_keys, keys[0])
     if salt_buckets:
         # Deterministic salt spreads one hot key across buckets for the
         # discovery join; the probe side is exploded to all bucket values.
@@ -328,6 +410,8 @@ def merge_into(
             "merge_updated": n_upd,
             "merge_inserted": n_ins,
             "merge_passthrough": n_pass,
+            "merge_candidates_global": n_global_candidates,
+            "merge_candidates_scanned": len(candidates),
         },
     )
     return MergeResult(snap, n_upd, n_ins, n_upd + n_ins + n_pass, len(affected_files))

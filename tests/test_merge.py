@@ -182,3 +182,38 @@ def test_merge_rejects_null_keys(spark, base_table):
     )
     with pytest.raises(ValueError, match="NULL in merge key"):
         merge_into(base_table, delta, "url")
+
+
+def test_interval_routing_cuts_discovery_on_clustered_table(spark, tmp_path):
+    """Per-file interval routing (round 2): on a url-range-partitioned
+    layout, a delta touching a narrow url range reads only the covering
+    files during discovery even though its GLOBAL bounds overlap everything,
+    and the merge result is unchanged. (2-D Morton files intentionally span
+    wide url bounds — range layout is the url-locality layout.)"""
+    df = generate_pages(spark, 2000, seed=25, partitions=4)
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "pages"), df.repartitionByRange(13, "url")
+    )
+    n_files = len(tbl.live_files())
+    assert n_files >= 10
+
+    # recrawl two narrow slices from OPPOSITE ends of the key space: global
+    # min/max bounds then overlap (nearly) every file, so only per-file
+    # interval routing can cut the discovery read
+    urls = sorted(r.url for r in tbl.scan().select("url").collect())
+    band = urls[50:70] + urls[-70:-50]
+    delta = (
+        tbl.scan().filter(F.col("url").isin(band))
+        .withColumn("text", F.concat(F.lit("rev9 "), F.col("text")))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 40 DAYS"))
+    )
+    res = merge_into(tbl, delta, "url")
+    assert res.rows_updated == len(band)
+    assert res.rows_inserted == 0
+    s = tbl.current_snapshot().summary
+    assert s["merge_candidates_scanned"] < s["merge_candidates_global"], (
+        f"interval routing should cut discovery: {s['merge_candidates_scanned']} "
+        f"vs {s['merge_candidates_global']}"
+    )
+    assert tbl.scan().filter(F.col("text").startswith("rev9 ")).count() == len(band)
+    assert tbl.scan().count() == 2000
