@@ -81,6 +81,99 @@ def with_session_ids(
     )
 
 
+def with_session_ids_chunked(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    chunk_seconds: int = 86_400,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Skew-proof session ids, BIT-IDENTICAL to :func:`with_session_ids`.
+
+    The LAG formulation serializes each entity into one window partition —
+    a bot with 10⁸ events becomes a straggler task AQE cannot split. This
+    variant windows on (entity, time-chunk) so a hot entity's events spread
+    across partitions, then resolves chunk boundaries on a per-(entity,
+    chunk) SUMMARY table (tiny: one row per entity-day):
+
+    1. within-chunk LAG marks starts; a chunk's FIRST event is provisional;
+    2. per-chunk rollup (first/last ts, inner-start count) + a window over
+       the summary decides whether each chunk's first event truly starts a
+       session (gap from the previous ADJACENT chunk's last event) and
+       prefix-sums start counts across chunks;
+    3. join back: global session_num = chunk prefix + within-chunk running
+       sum → identical md5 session ids.
+
+    Requires chunk_seconds > gap_seconds: then a skipped (empty) chunk
+    always implies a gap larger than the threshold, so only adjacent chunks
+    can merge sessions.
+    """
+    if chunk_seconds <= gap_seconds:
+        raise ValueError("chunk_seconds must exceed gap_seconds")
+    gap_us = gap_seconds * 1_000_000
+    chunk_us = chunk_seconds * 1_000_000
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    ev = events.withColumn("__chunk", F.floor(_us(F.col(ts_col)) / chunk_us))
+    wc = Window.partitionBy(entity_col, "__chunk").orderBy(*order)
+    wc_run = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts_col).over(wc)
+    ev = ev.withColumn("__rn", F.row_number().over(wc)).withColumn(
+        "__inner_start",
+        F.when(
+            prev.isNotNull() & ((_us(F.col(ts_col)) - _us(prev)) > gap_us), 1
+        ).otherwise(0),
+    )
+
+    # per-(entity, chunk) summary — one row per entity-chunk, never large
+    bounds = ev.groupBy(entity_col, "__chunk").agg(
+        F.min(ts_col).alias("__first_ts"),
+        F.max(ts_col).alias("__last_ts"),
+        F.sum("__inner_start").alias("__n_inner"),
+    )
+    wb = Window.partitionBy(entity_col).orderBy("__chunk")
+    prev_last = F.lag("__last_ts").over(wb)
+    prev_chunk = F.lag("__chunk").over(wb)
+    bounds = bounds.withColumn(
+        "__first_is_start",
+        F.when(
+            prev_last.isNull()
+            | (F.col("__chunk") != prev_chunk + 1)
+            | ((_us(F.col("__first_ts")) - _us(prev_last)) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__starts_before",
+        F.coalesce(
+            F.sum(F.col("__n_inner") + F.col("__first_is_start")).over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(entity_col, "__chunk", "__first_is_start", "__starts_before")
+
+    joined = ev.join(bounds, [entity_col, "__chunk"])
+    is_start = F.when(F.col("__rn") == 1, F.col("__first_is_start")).otherwise(
+        F.col("__inner_start")
+    )
+    return (
+        joined.withColumn("__in_chunk_num", F.sum(is_start).over(wc_run))
+        .withColumn(
+            "session_id",
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col(entity_col),
+                    F.col("__starts_before") + F.col("__in_chunk_num"),
+                )
+            ),
+        )
+        .drop("__chunk", "__rn", "__inner_start", "__first_is_start",
+              "__starts_before", "__in_chunk_num")
+    )
+
+
 def sessionize(
     events: DataFrame,
     entity_col: str,
@@ -89,10 +182,19 @@ def sessionize(
     event_type_col: str | None = None,
     conversion_type: str | None = None,
     tiebreak_col: str | None = None,
+    chunked: bool = False,
+    chunk_seconds: int = 86_400,
 ) -> DataFrame:
     """Full session rollup matching clickstream_sessions
-    (``sessionize_clickstream.py:224-251``)."""
-    s = with_session_ids(events, entity_col, ts_col, gap_seconds, tiebreak_col)
+    (``sessionize_clickstream.py:224-251``). ``chunked=True`` switches to
+    the skew-proof (entity, time-chunk) window with identical results —
+    use it when a single entity can dominate the event volume."""
+    if chunked:
+        s = with_session_ids_chunked(
+            events, entity_col, ts_col, gap_seconds, chunk_seconds, tiebreak_col
+        )
+    else:
+        s = with_session_ids(events, entity_col, ts_col, gap_seconds, tiebreak_col)
     aggs = [
         F.to_date(F.min(ts_col)).alias("session_date"),
         F.min(ts_col).alias("first_event_ts"),

@@ -193,3 +193,91 @@ def test_hybrid_key_scope_large_set_takes_shuffle_path(spark, sf_dir="/root/test
         assert big.count() == small.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_chunked_sessionize_identical_on_skewed_data(spark):
+    """Skew guard (round 2): one bot entity holding ~50% of all events —
+    chunked (entity, time-chunk) sessionization returns BIT-identical
+    session ids and rollups to the serial LAG formulation, while its wide
+    shuffle is keyed on (entity, chunk) so the bot's events spread across
+    partitions instead of one straggler task."""
+    import datetime as dt
+
+    from ecommerce_lakehouse_spark.operators.sessionize import (
+        sessionize,
+        with_session_ids,
+        with_session_ids_chunked,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # bot: 3000 events over ~10 days, bursts with gaps crossing chunk edges
+    for i in range(3000):
+        ts = base + dt.timedelta(minutes=7 * i + (i % 13))
+        rows.append((9999, f"e{i}", ts, "view"))
+    # 100 normal users, 30 events each
+    for u in range(100):
+        for i in range(30):
+            ts = base + dt.timedelta(hours=u, minutes=40 * i)
+            rows.append((u, f"u{u}_{i}", ts, "purchase" if i % 9 == 0 else "view"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id string, ts timestamp, event_type string"
+    ).repartition(16)
+
+    plain = with_session_ids(ev, "user_id", "ts", 1800, tiebreak_col="event_id")
+    chunked = with_session_ids_chunked(
+        ev, "user_id", "ts", 1800, chunk_seconds=86_400, tiebreak_col="event_id"
+    )
+    key = lambda df: sorted(
+        (r.user_id, r.event_id, r.session_id) for r in df.collect()
+    )
+    assert key(plain) == key(chunked), "session ids must be bit-identical"
+
+    # rollups agree too (counts, durations, conversion flags)
+    roll = lambda c: sorted(
+        map(tuple, sessionize(
+            ev, "user_id", "ts", 1800, event_type_col="event_type",
+            conversion_type="purchase", tiebreak_col="event_id", chunked=c,
+        ).collect())
+    )
+    assert roll(False) == roll(True)
+
+    # the scale property: the wide shuffle includes the chunk key
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan.split("Scan")[0]
+
+
+def test_chunked_sessionize_boundary_cases(spark):
+    """Sessions spanning chunk boundaries merge iff the gap allows; an
+    empty chunk in between always splits (chunk_seconds > gap)."""
+    import datetime as dt
+
+    from ecommerce_lakehouse_spark.operators.sessionize import (
+        with_session_ids,
+        with_session_ids_chunked,
+    )
+
+    base = dt.datetime(2024, 1, 1, 23, 50)
+    rows = [
+        (1, "a", base),                                   # chunk 0
+        (1, "b", base + dt.timedelta(minutes=15)),        # chunk 1, gap 15m → same session
+        (1, "c", base + dt.timedelta(minutes=45)),        # gap 30m → same (<= is not >)
+        (1, "d", base + dt.timedelta(days=2)),            # empty chunk between → new
+        (2, "x", base + dt.timedelta(minutes=9)),         # other entity chunk 0
+        (2, "y", base + dt.timedelta(days=1, minutes=9)), # adjacent chunk, huge gap → new
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id string, ts timestamp")
+    plain = {
+        (r.user_id, r.event_id): r.session_id
+        for r in with_session_ids(ev, "user_id", "ts", 1800, tiebreak_col="event_id").collect()
+    }
+    chunked = {
+        (r.user_id, r.event_id): r.session_id
+        for r in with_session_ids_chunked(
+            ev, "user_id", "ts", 1800, chunk_seconds=86_400, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert plain == chunked
+    assert chunked[(1, "a")] == chunked[(1, "b")] == chunked[(1, "c")]
+    assert chunked[(1, "d")] != chunked[(1, "a")]
+    assert chunked[(2, "x")] != chunked[(2, "y")]
