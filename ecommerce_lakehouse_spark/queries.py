@@ -251,6 +251,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof sessionization (operators/sessionize.with_session_ids_chunked):
+    windows on (entity, time-chunk) instead of entity alone, so one bot
+    entity cannot serialize into a straggler task. Checked against the SAME
+    oracle as `sessionize` — session ids are bit-identical by construction,
+    so the full rollup must hash-match the serial formulation's oracle."""
+    from .operators.sessionize import with_session_ids_chunked
+
+    ev = t(spark, sf_dir, "events")
+    sess = with_session_ids_chunked(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id"
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("session_date"),
+        F.min("ts").alias("first_event_ts"),
+        F.max("ts").alias("last_event_ts"),
+        F.expr("(unix_micros(cast(max(ts) as timestamp)) - unix_micros(cast(min(ts) as timestamp))) div 1000000").alias(
+            "session_duration_secs"
+        ),
+        F.count("*").alias("event_count"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("view_count"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("click_count"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchase_count"
+        ),
+        (F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) > 0).alias(
+            "converted"
+        ),
+        dsum(F.col("value")).alias("session_value"),
+    )
+
+
 SQL_SESSIONIZE = f"""
 WITH lagged AS (
   SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -674,6 +706,7 @@ REGISTRY: dict = {
     "dedup_latest_wins": (q_dedup_latest_wins, SQL_DEDUP_LATEST_WINS),
     "scd2_window_chain": (q_scd2_window_chain, SQL_SCD2_WINDOW_CHAIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "sessionize_chunked": (q_sessionize_chunked, SQL_SESSIONIZE),
     "interval_join_pit": (q_interval_join_pit, SQL_INTERVAL_JOIN_PIT),
     "left_anti_new_keys": (q_left_anti_new_keys, SQL_LEFT_ANTI_NEW_KEYS),
     "change_detection": (q_change_detection, SQL_CHANGE_DETECTION),

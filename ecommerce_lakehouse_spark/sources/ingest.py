@@ -81,3 +81,44 @@ def read_file_stream(
     """Streaming source with the Kafka wire schema, backed by files
     (sandbox stand-in for ``readStream.format('kafka')``)."""
     return spark.readStream.schema(schema).parquet(path)
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    sasl_jaas: str | None = None,
+    extra_options: dict | None = None,
+) -> DataFrame:
+    """The REAL Kafka source (reference: stream_clickstream.py:107-120) —
+    identical columns to :func:`read_file_stream`, so every downstream
+    operator (parse_and_flag, route_batch, sessionization) is source-
+    agnostic: swapping a file stream for Kafka is this one constructor.
+
+    Requires the spark-sql-kafka connector on the cluster classpath
+    (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``);
+    this sandbox ships no Kafka broker or connector, so the call raises a
+    clear error here — it is the documented production seam, not a fake.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    if sasl_jaas is not None:
+        reader = (
+            reader.option("kafka.security.protocol", "SASL_SSL")
+            .option("kafka.sasl.mechanism", "PLAIN")
+            .option("kafka.sasl.jaas.config", sasl_jaas)
+        )
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    # project to the exact wire schema read_file_stream produces
+    return df.select("key", "value", "topic", "partition", "offset", "timestamp")
