@@ -226,18 +226,30 @@ def merge_into(
     source = source.select(*tcols) if not delete_matched else source
 
     # one prep job: key bounds (for stats pruning) + exact distinct key
-    # count + null-key guard — all in a single action over the source
+    # count + null-key guard + byte-size estimate — one action over the
+    # source. The size estimate replaces the former private
+    # _jdf…optimizedPlan().stats() call: measured avg widths of variable
+    # columns (html dominates) + fixed widths for the rest.
     any_null = F.lit(False)
     for k in keys:
         any_null = any_null | F.col(k).isNull()
+    var_cols = [
+        f.name for f in source.schema.fields
+        if f.dataType.typeName() in ("string", "binary")
+    ]
     src_keys = source.select(*keys).distinct()
     prep = source.agg(
         *[F.min(k).alias(f"lo_{k}") for k in keys],
         *[F.max(k).alias(f"hi_{k}") for k in keys],
         F.count_distinct(*[F.col(k) for k in keys]).alias("__nkeys"),
         F.count(F.when(any_null, 1)).alias("__null_keys"),
+        F.count(F.lit(1)).alias("__nrows"),
+        *[F.avg(F.length(c)).alias(f"__len_{c}") for c in var_cols],
     ).first()
     n_src_keys = prep["__nkeys"]
+    fixed = 16 * (len(source.columns) - len(var_cols))  # generous per-field
+    var_width = sum(prep[f"__len_{c}"] or 0 for c in var_cols)
+    src_bytes_est = int(prep["__nrows"] * (fixed + var_width))
     if prep["__null_keys"]:
         raise ValueError(
             f"merge_into: {prep['__null_keys']} source row(s) have NULL in "
@@ -305,14 +317,9 @@ def merge_into(
     upd_set = set(update_cols) if update_cols is not None else (
         set(tcols) - set(keys) - set(preserve_cols)
     )
-    try:
-        src_bytes_est = int(
-            source._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        src_bytes_est = None
-    broadcast_path = n_src_keys <= BROADCAST_KEY_LIMIT and (
-        src_bytes_est is None or src_bytes_est <= BROADCAST_BYTES_LIMIT
+    broadcast_path = (
+        n_src_keys <= BROADCAST_KEY_LIMIT
+        and src_bytes_est <= BROADCAST_BYTES_LIMIT
     )
 
     if broadcast_path:
