@@ -46,9 +46,18 @@ def build_input(spark, workdir: str, n_pages: int, cores: int) -> None:
 
 def run_pipeline(cores: int, workdir: str) -> dict:
     from ecommerce_lakehouse_spark.maintenance import compact, zorder_by
+    from ecommerce_lakehouse_spark.operators import merge as merge_mod
     from ecommerce_lakehouse_spark.operators.merge import merge_into
     from ecommerce_lakehouse_spark.session import get_spark
     from ecommerce_lakehouse_spark.table import IcehouseTable
+
+    if os.environ.get("SPARK_GRAFT_FORCE_SMJ") == "1":
+        # Pin the sort-merge (cluster-scale) merge plan: the hybrid router
+        # sends this benchmark's small delta to the broadcast path, which is
+        # fixed-overhead dominated at 1M pages (Amdahl) — the SMJ plan is
+        # what a 100 TB merge of a large delta executes, and what run1's
+        # scaling evidence measured. Same knob, explicitly set.
+        merge_mod.BROADCAST_KEY_LIMIT = 0
 
     # shuffle partitioning FIXED across runs: both cluster sizes must execute
     # the identical plan/file layout — only parallelism varies
