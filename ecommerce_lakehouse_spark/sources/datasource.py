@@ -29,8 +29,11 @@ operators, format("icehouse") is the compatibility surface.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualNullSafe,
     EqualTo,
@@ -43,6 +46,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -146,6 +150,108 @@ class IcehouseReader(DataSourceReader):
         yield from out.to_batches(max_chunksize=65536)
 
 
+# --------------------------------------------------------------- write path
+
+@dataclass
+class IcehouseCommitMessage(WriterCommitMessage):
+    """One staged parquet file + its footer stats (manifest-ready)."""
+
+    rel_path: str | None = None
+    row_count: int = 0
+    size_bytes: int = 0
+    stats: dict = field(default_factory=dict)
+
+
+class IcehouseWriter(DataSourceArrowWriter):
+    """Each task stages ONE parquet file into the table's data dir and ships
+    its footer stats in the commit message; the driver-side commit() turns
+    the messages into a single atomic Icehouse snapshot (append, or
+    overwrite for mode("overwrite")). A failed job leaves only staged files,
+    which the orphan sweep ages out — the table never sees partial writes."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("icehouse: .save(path) is required")
+        # option keys arrive case-insensitively (Spark lowercases them)
+        low = {k.lower(): v for k, v in options.items()}
+        self._merge_schema = str(low.get("mergeschema", "false")).lower() == "true"
+        self._schema = schema
+        self._overwrite = overwrite
+
+    # -- executor side -------------------------------------------------------
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..table.stats import file_stats
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return IcehouseCommitMessage()
+        want = to_arrow_schema(self._schema)
+        tbl = pa.Table.from_batches(batches).cast(want)
+        data_dir = os.path.join(os.path.abspath(self._path), "data")
+        os.makedirs(data_dir, exist_ok=True)
+        name = f"dsv2-{uuid.uuid4().hex}.parquet"
+        full = os.path.join(data_dir, name)
+        pq.write_table(tbl, full, compression="snappy")
+        skip = {f.name for f in want if pa.types.is_binary(f.type)
+                or pa.types.is_large_binary(f.type)}
+        rows, size, stats = file_stats(
+            full, [n for n in want.names if n not in skip]
+        )
+        return IcehouseCommitMessage(
+            rel_path=os.path.join("data", name),
+            row_count=rows, size_bytes=size, stats=stats,
+        )
+
+    # -- driver side ---------------------------------------------------------
+    def commit(self, messages):
+        from pyspark.sql import SparkSession
+
+        from ..table.format import DataFile, IcehouseTable
+
+        spark = SparkSession.getActiveSession()
+        table = IcehouseTable(spark, self._path)
+        added = [
+            DataFile(m.rel_path, m.row_count, m.size_bytes, m.stats,
+                     added_by=table.current_version() + 1)
+            for m in messages
+            if m is not None and m.rel_path is not None
+        ]
+        if not table.exists():
+            import os
+
+            for d in (table.meta_dir, table.manifest_dir, table.data_dir,
+                      table.ledger_dir):
+                os.makedirs(d, exist_ok=True)
+            table._commit("append", added, set(),
+                          schema_json=self._schema.jsonValue())
+            return
+        widened = table.reconcile_schema(self._schema, self._merge_schema)
+        schema_json = widened.jsonValue() if widened is not None else None
+        if self._overwrite:
+            removed = {f.path for f in table.live_files()}
+            table._commit("overwrite", added, removed, schema_json=schema_json)
+        else:
+            table._commit("append", added, set(), schema_json=schema_json)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is not None and m.rel_path:
+                try:
+                    os.unlink(os.path.join(self._path, m.rel_path))
+                except OSError:
+                    pass
+
+
 class IcehouseDataSource(DataSource):
     """Usage::
 
@@ -154,6 +260,7 @@ class IcehouseDataSource(DataSource):
         df = spark.read.format("icehouse").load("/path/to/table")
         old = (spark.read.format("icehouse")
                .option("snapshot_id", 3).load("/path/to/table"))
+        df.write.format("icehouse").mode("append").save("/path/to/table")
     """
 
     @classmethod
@@ -170,6 +277,9 @@ class IcehouseDataSource(DataSource):
 
     def reader(self, schema: StructType) -> IcehouseReader:
         return IcehouseReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> IcehouseWriter:
+        return IcehouseWriter(dict(self.options), schema, overwrite)
 
 
 def register(spark) -> None:

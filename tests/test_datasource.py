@@ -95,3 +95,63 @@ def test_datasource_reads_across_schema_evolution(spark, tmp_path):
     assert df.count() == 100
     assert df.filter(F.col("fetch_status").isNull()).count() == 80
     assert df.filter(F.col("fetch_status") == 200).count() == 20
+
+
+def test_write_format_icehouse_creates_and_appends(spark, tmp_path):
+    """df.write.format("icehouse"): create on first save, append after,
+    snapshots atomic, stats collected (pruning works on the written table)."""
+    register(spark)
+    path = str(tmp_path / "w")
+    df = generate_pages(spark, 150, seed=201, partitions=3)
+    df.write.format("icehouse").mode("append").save(path)
+    tbl = IcehouseTable(spark, path)
+    assert tbl.exists()
+    assert tbl.scan().count() == 150
+    assert tbl.schema() == df.schema
+    assert all(f.stats.get("url") for f in tbl.live_files()), "footer stats in manifests"
+
+    generate_pages(spark, 50, seed=202, partitions=1).write.format(
+        "icehouse"
+    ).mode("append").save(path)
+    assert tbl.scan().count() == 200
+    assert tbl.current_snapshot().operation == "append"
+    # read back through the DSv2 reader: full round trip
+    assert spark.read.format("icehouse").load(path).count() == 200
+
+
+def test_write_overwrite_replaces_atomically(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "w")
+    generate_pages(spark, 100, seed=203, partitions=2).write.format(
+        "icehouse"
+    ).mode("append").save(path)
+    tbl = IcehouseTable(spark, path)
+    v1 = tbl.current_snapshot().snapshot_id
+    generate_pages(spark, 40, seed=204, partitions=1).write.format(
+        "icehouse"
+    ).mode("overwrite").save(path)
+    assert tbl.scan().count() == 40
+    assert tbl.current_snapshot().operation == "overwrite"
+    # time travel still sees the pre-overwrite data
+    assert tbl.scan(snapshot_id=v1).count() == 100
+
+
+def test_write_merge_schema_option(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "w")
+    generate_pages(spark, 60, seed=205, partitions=2).write.format(
+        "icehouse"
+    ).mode("append").save(path)
+    widened = generate_pages(spark, 20, seed=206, partitions=1).withColumn(
+        "fetch_status", F.lit(200).cast("int")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="merge_schema|mergeSchema|new column"):
+        widened.write.format("icehouse").mode("append").save(path)
+    widened.write.format("icehouse").mode("append").option(
+        "mergeSchema", "true"
+    ).save(path)
+    tbl = IcehouseTable(spark, path)
+    assert tbl.scan().count() == 80
+    assert tbl.scan().filter(F.col("fetch_status").isNull()).count() == 60
