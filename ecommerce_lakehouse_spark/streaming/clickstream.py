@@ -179,6 +179,24 @@ def run_clickstream_ingest(
     return stats
 
 
+def debug_sink(stream: DataFrame, name: str, output_mode: str = "append"):
+    """S9 memory/debug sink (the reference's display()/memory-sink probes):
+    drain a stream into an in-memory table queryable as ``SELECT * FROM
+    {name}``. availableNow + NO checkpoint — the memory sink cannot recover
+    from checkpoints, so this is strictly a debugging probe, never a
+    production sink (production paths are the txn-marked Icehouse appends).
+    Returns the terminated query."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def _ensure(spark: SparkSession, path: str, ddl: str) -> IcehouseTable:
     tbl = IcehouseTable(spark, path)
     if not tbl.exists():

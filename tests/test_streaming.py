@@ -128,3 +128,19 @@ def test_kafka_constructor_builds_real_source(spark):
             max_offsets_per_trigger=10000,
             sasl_jaas="org.apache.kafka.common.security.plain.PlainLoginModule required;",
         )
+
+
+def test_debug_memory_sink(spark, tmp_path):
+    """S9: the memory/debug sink drains a stream into a queryable in-memory
+    table (debug probe only — no checkpoint, not a production sink)."""
+    import datetime as dt
+
+    from ecommerce_lakehouse_spark.streaming.clickstream import debug_sink
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "id long, ts timestamp"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id long, ts timestamp").parquet(src)
+    debug_sink(stream, "dbg_probe")
+    assert spark.sql("SELECT * FROM dbg_probe").count() == 1
