@@ -21,8 +21,10 @@ from ..table.format import IcehouseTable, Snapshot
 
 # Orphan sweeps may never run with zero grace: a staged-but-uncommitted
 # rewrite's outputs look orphaned until the commit lands. 10 minutes is far
-# beyond any stage→commit latency; the only exception is tests, which pass
-# unsafe_grace_for_tests explicitly.
+# beyond any stage→commit latency, and ``orphan_grace_ms`` is UNCONDITIONALLY
+# clamped up to this floor — there is no escape hatch. Tests that pass
+# orphan_grace_ms=0 therefore exercise snapshot expiry only; fresh staging
+# leftovers survive the sweep by design.
 MIN_ORPHAN_GRACE_MS = 10 * 60 * 1000
 
 

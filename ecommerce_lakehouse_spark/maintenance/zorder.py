@@ -136,13 +136,27 @@ def zorder_by(
     # transient (recomputed per rewrite, never persisted), so each rewrite
     # may use the tightest bounds available — more interleave bits carry
     # information, and file min/max stats stay exact either way.
-    lo_us, hi_us = _ts_bounds_from_stats(files, ts_col)
+    paths = [os.path.join(table.path, f.path) for f in files]
+    df = table.spark.read.schema(table.schema()).parquet(*paths)
+    try:
+        lo_us, hi_us = _ts_bounds_from_stats(files, ts_col)
+    except ValueError:
+        # stats-less scoped subset (e.g. files from legacy manifests, made
+        # likelier by incremental/predicate scoping): fall back to one agg
+        # over the data we're about to rewrite anyway (ADVICE r02)
+        b = df.agg(
+            F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("lo"),
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("hi"),
+        ).first()
+        if b["lo"] is None or b["hi"] is None:
+            raise ValueError(
+                f"cannot scale coordinates: {ts_col} is all-NULL in the "
+                f"scoped files and manifests carry no stats for it"
+            ) from None
+        lo_us, hi_us = b["lo"], b["hi"]
     epoch = datetime.datetime(1970, 1, 1)
     lo = epoch + datetime.timedelta(microseconds=lo_us)
     hi = epoch + datetime.timedelta(microseconds=hi_us)
-
-    paths = [os.path.join(table.path, f.path) for f in files]
-    df = table.spark.read.schema(table.schema()).parquet(*paths)
     if url_coord == "hash":
         x = url_hash31(F.col(url_col))
     else:

@@ -87,10 +87,23 @@ def _interval_candidates(candidates, src_keys: DataFrame, key: str):
     into disjoint groups first (a hit anywhere in a group keeps the whole
     group), so the result is always a superset of the truly affected files;
     files without stats are always kept. Exact discovery still runs after.
+
+    Routing is restricted to string/integer key types: manifest stats are
+    stored in a normalized domain (timestamps → epoch-µs ints, dates → ISO
+    strings — table/stats._norm) that raw Spark key values don't share, so
+    comparing them inside the UDF would raise. For other types routing is a
+    no-op (candidates returned unchanged — still correct, just unpruned);
+    any residual type surprise also falls back rather than failing the merge.
+    String stats bounds are 64-char truncated with the upper bound rounded
+    UP, so full-length source keys still route conservatively.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    key_type = src_keys.schema[key].dataType.typeName()
+    if key_type not in ("string", "integer", "long", "short", "byte"):
+        return candidates
 
     with_bounds, always = [], []
     for f in candidates:
@@ -101,7 +114,11 @@ def _interval_candidates(candidates, src_keys: DataFrame, key: str):
             with_bounds.append((st["min"], st["max"], f))
     if len(with_bounds) < INTERVAL_ROUTE_MIN_FILES:
         return candidates
-    with_bounds.sort(key=lambda t: (t[0], t[1]))
+    try:
+        with_bounds.sort(key=lambda t: (t[0], t[1]))
+    except TypeError:
+        # mixed-type stats bounds (legacy manifests): routing can't prune
+        return candidates
 
     # flatten into disjoint groups of overlapping intervals
     groups: list[list] = []  # [lo, hi, [files]]
@@ -120,6 +137,10 @@ def _interval_candidates(candidates, src_keys: DataFrame, key: str):
     ghi = np.array([g[1] for g in groups])
 
     str_bounds = glo.dtype.kind in ("U", "S", "O")
+    if str_bounds != (key_type == "string"):
+        # stats domain doesn't match the key type (e.g. legacy manifests
+        # with re-typed columns) — comparing would raise in the UDF
+        return candidates
     if str_bounds:
         glo = glo.astype(np.str_)
         ghi = ghi.astype(np.str_)
@@ -145,6 +166,50 @@ def _interval_candidates(candidates, src_keys: DataFrame, key: str):
     }
     kept = always + [f for i in hit_ids for f in groups[i][2]]
     return kept
+
+
+WIDTH_SAMPLE_ROWS = 10_000
+
+
+def _prep_key_stats(source: DataFrame, keys: list[str]) -> DataFrame:
+    """The key-only prep aggregation (bounds + distinct count + null guard).
+
+    Selects ONLY the key columns so Catalyst prunes everything else out of
+    the source scan (ReadSchema = keys): planning a merge must never read
+    payload bytes.
+    """
+    any_null = F.lit(False)
+    for k in keys:
+        any_null = any_null | F.col(k).isNull()
+    return source.select(*keys).agg(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+        F.count_distinct(*[F.col(k) for k in keys]).alias("__nkeys"),
+        F.count(F.when(any_null, 1)).alias("__null_keys"),
+        F.count(F.lit(1)).alias("__nrows"),
+    )
+
+
+def _estimate_src_bytes(source: DataFrame, n_rows: int) -> int:
+    """Broadcast-size estimate: fixed per-field widths + avg variable-column
+    widths measured over a limit()-bounded sample (LocalLimit short-circuits
+    the scan, so the cost is O(WIDTH_SAMPLE_ROWS) regardless of source size).
+    """
+    var_cols = [
+        f.name for f in source.schema.fields
+        if f.dataType.typeName() in ("string", "binary")
+    ]
+    fixed = 16 * (len(source.columns) - len(var_cols))  # generous per-field
+    if not var_cols or n_rows == 0:
+        return int(n_rows * fixed)
+    sample = (
+        source.select(*var_cols)
+        .limit(WIDTH_SAMPLE_ROWS)
+        .agg(*[F.avg(F.length(c)).alias(f"__len_{c}") for c in var_cols])
+        .first()
+    )
+    var_width = sum(sample[f"__len_{c}"] or 0 for c in var_cols)
+    return int(n_rows * (fixed + var_width))
 
 
 def _prune_candidates(files, bounds, key_cols: list[str]):
@@ -225,31 +290,23 @@ def merge_into(
 
     source = source.select(*tcols) if not delete_matched else source
 
-    # one prep job: key bounds (for stats pruning) + exact distinct key
-    # count + null-key guard + byte-size estimate — one action over the
-    # source. The size estimate replaces the former private
-    # _jdf…optimizedPlan().stats() call: measured avg widths of variable
-    # columns (html dominates) + fixed widths for the rest.
-    any_null = F.lit(False)
-    for k in keys:
-        any_null = any_null | F.col(k).isNull()
-    var_cols = [
-        f.name for f in source.schema.fields
-        if f.dataType.typeName() in ("string", "binary")
-    ]
+    # Prep job #1 reads ONLY the key columns (column pruning reaches the
+    # source scan — at a 100-TB delta the html payload is the dominant IO
+    # and must not be touched just to plan the merge): key bounds for stats
+    # pruning + exact distinct key count + null-key guard.
     src_keys = source.select(*keys).distinct()
-    prep = source.agg(
-        *[F.min(k).alias(f"lo_{k}") for k in keys],
-        *[F.max(k).alias(f"hi_{k}") for k in keys],
-        F.count_distinct(*[F.col(k) for k in keys]).alias("__nkeys"),
-        F.count(F.when(any_null, 1)).alias("__null_keys"),
-        F.count(F.lit(1)).alias("__nrows"),
-        *[F.avg(F.length(c)).alias(f"__len_{c}") for c in var_cols],
-    ).first()
+    prep = _prep_key_stats(source, keys).first()
     n_src_keys = prep["__nkeys"]
-    fixed = 16 * (len(source.columns) - len(var_cols))  # generous per-field
-    var_width = sum(prep[f"__len_{c}"] or 0 for c in var_cols)
-    src_bytes_est = int(prep["__nrows"] * (fixed + var_width))
+    # Byte-size estimate for the broadcast decision — a SECOND, conditional
+    # action: when the key count alone disqualifies the broadcast the
+    # estimate is irrelevant and no payload byte is ever read; otherwise a
+    # limit()-bounded sample (≤ WIDTH_SAMPLE_ROWS rows, short-circuits the
+    # scan) measures avg variable-column widths. Replaces both the former
+    # private _jdf…stats() call and round 2's full-source width scan.
+    if n_src_keys <= BROADCAST_KEY_LIMIT:
+        src_bytes_est = _estimate_src_bytes(source, prep["__nrows"])
+    else:
+        src_bytes_est = None  # unused: broadcast already ruled out
     if prep["__null_keys"]:
         raise ValueError(
             f"merge_into: {prep['__null_keys']} source row(s) have NULL in "

@@ -472,8 +472,10 @@ class IcehouseTable:
                 f"writer has new column(s) {[f.name for f in extra]}; pass "
                 f"merge_schema=True to evolve the table schema"
             )
+        # existing columns keep their nullability — only the NEW columns are
+        # forced nullable (old files read back with NULLs for them)
         widened = [
-            StructField(f.name, f.dataType, True) for f in table_schema.fields
+            StructField(f.name, f.dataType, f.nullable) for f in table_schema.fields
         ] + [StructField(f.name, f.dataType, True) for f in extra]
         return StructType(widened)
 

@@ -382,3 +382,22 @@ def test_predicate_scoped_cluster(spark, tmp_path):
     )
     assert snap.summary["cluster_files_in"] == len(scoped)
     assert table_rows(tbl) == before_rows
+
+
+def test_zorder_falls_back_to_data_bounds_without_stats(spark, tmp_path, monkeypatch):
+    """Stats-less scoped subsets (legacy manifests) must not crash the
+    coordinate scaling: bounds fall back to one agg over the files being
+    rewritten (ADVICE r02)."""
+    import ecommerce_lakehouse_spark.maintenance.zorder as z
+
+    df = generate_pages(spark, 400, seed=91, partitions=4)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "pages"), df)
+    before = sorted(r.url for r in tbl.scan().select("url").collect())
+
+    def _no_stats(files, ts_col):
+        raise ValueError(f"no stats for {ts_col}; cannot scale coordinates")
+
+    monkeypatch.setattr(z, "_ts_bounds_from_stats", _no_stats)
+    snap = z.zorder_by(tbl, target_file_bytes=1 << 20)
+    assert snap is not None and snap.operation.startswith("cluster-")
+    assert sorted(r.url for r in tbl.scan().select("url").collect()) == before

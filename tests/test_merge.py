@@ -184,6 +184,74 @@ def test_merge_rejects_null_keys(spark, base_table):
         merge_into(base_table, delta, "url")
 
 
+def test_merge_prep_plan_reads_only_key_columns(spark, tmp_path):
+    """Planning a merge must never read payload bytes (VERDICT r02 #1): the
+    key-stats prep aggregation selects only the keys, so column pruning
+    reaches the parquet scan — ReadSchema excludes text/html-ish columns."""
+    from ecommerce_lakehouse_spark.operators.merge import _prep_key_stats
+
+    generate_pages(spark, 200, seed=31, partitions=2).write.parquet(
+        str(tmp_path / "src")
+    )
+    src = spark.read.parquet(str(tmp_path / "src"))
+    prep_df = _prep_key_stats(src, ["url"])
+    plan = prep_df._jdf.queryExecution().executedPlan().toString()
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas, "expected a parquet scan in the prep plan"
+    for ln in read_schemas:
+        assert "url" in ln
+        assert "text" not in ln, f"prep scan must not read payload: {ln}"
+
+
+def test_merge_width_estimate_skipped_when_keys_disqualify(spark, base_table):
+    """When the distinct key count already rules out the broadcast, the
+    byte-width estimate (the only step that touches payload bytes) must not
+    run at all."""
+    import ecommerce_lakehouse_spark.operators.merge as m
+
+    delta = dedup_latest(
+        generate_recrawl_delta(spark, 300, n_new=5, n_recrawl=10, seed=21),
+        ["url"], "warc_ts",
+    )
+    old_limit, old_est = m.BROADCAST_KEY_LIMIT, m._estimate_src_bytes
+
+    def _boom(*a, **kw):  # noqa: ANN002, ANN003
+        raise AssertionError("width estimate ran despite key-count disqualification")
+
+    m.BROADCAST_KEY_LIMIT = 0
+    m._estimate_src_bytes = _boom
+    try:
+        res = merge_into(base_table, delta, "url")
+    finally:
+        m.BROADCAST_KEY_LIMIT, m._estimate_src_bytes = old_limit, old_est
+    assert res.rows_updated == 10 and res.rows_inserted == 5
+
+
+def test_interval_routing_skips_non_string_int_keys(spark):
+    """Timestamp merge keys: manifest stats hold epoch-µs ints while the
+    routing UDF would receive datetime64 values — routing must detect the
+    domain mismatch and return the candidates unchanged instead of raising
+    inside the UDF (ADVICE r02)."""
+    import datetime
+    from types import SimpleNamespace
+
+    from ecommerce_lakehouse_spark.operators.merge import _interval_candidates
+
+    # 10 fake files with disjoint epoch-µs intervals (as table/stats stores them)
+    cands = [
+        SimpleNamespace(
+            path=f"f{i}.parquet",
+            stats={"warc_ts": {"min": i * 10**9, "max": i * 10**9 + 5 * 10**8}},
+        )
+        for i in range(10)
+    ]
+    src_keys = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0, i),) for i in range(5)],
+        "warc_ts timestamp",
+    ).distinct()
+    assert _interval_candidates(cands, src_keys, "warc_ts") == cands
+
+
 def test_interval_routing_cuts_discovery_on_clustered_table(spark, tmp_path):
     """Per-file interval routing (round 2): on a url-range-partitioned
     layout, a delta touching a narrow url range reads only the covering

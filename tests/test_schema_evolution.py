@@ -106,3 +106,28 @@ def test_evolution_preserves_time_travel(spark, tbl):
     old = tbl.scan(snapshot_id=v1)
     assert old.count() == 200
     assert old.filter(F.col("fetch_status").isNull()).count() == 200
+
+
+def test_evolution_preserves_existing_nullability(spark, tmp_path):
+    """Widening must not loosen non-null columns to nullable (ADVICE r02):
+    only the NEW columns are forced nullable."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("n", IntegerType(), True),
+    ])
+    df = spark.createDataFrame([("a", 1), ("b", 2)], schema)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "nn"), df)
+    assert not tbl.schema()["url"].nullable
+
+    wide = spark.createDataFrame(
+        [("c", 3, "x")],
+        StructType(schema.fields + [StructField("extra", StringType(), True)]),
+    )
+    widened = tbl.reconcile_schema(wide.schema, merge_schema=True)
+    assert not widened["url"].nullable, "existing non-null column loosened"
+    assert widened["n"].nullable
+    assert widened["extra"].nullable
