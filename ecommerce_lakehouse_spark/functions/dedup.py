@@ -120,12 +120,20 @@ def minhash_lsh_candidates(
 
 # ------------------------------------------------------- n-gram Jaccard
 
+# Default posting-list cap (see ``max_df`` below). At web scale the UNCAPPED
+# call is the anti-pattern — a boilerplate shingle shared by k docs emits
+# k²/2 join rows — so the finite cap is the default and ``max_df=None`` is
+# the explicit opt-out for small corpora (VERDICT r02 #6).
+DEFAULT_JACCARD_MAX_DF = 10_000
+_USE_DEFAULT = object()
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     threshold: float,
-    max_df: int | None = None,
+    max_df: int | None | object = _USE_DEFAULT,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -143,6 +151,9 @@ def jaccard_pairs(
     anti-join broadcasts.
     """
     from pyspark.sql.window import Window
+
+    if max_df is _USE_DEFAULT:
+        max_df = DEFAULT_JACCARD_MAX_DF
 
     base = df.select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col)).alias("sh")

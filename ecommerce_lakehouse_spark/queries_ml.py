@@ -154,14 +154,29 @@ COSINE_DUP_THRESHOLD = 0.99
 EMB_DIMS = 64
 LSH_PLANES = 12
 LSH_BAND_BITS = 4
+# Planted near-dups: the synthetic embeddings are near-orthogonal (max pair
+# cosine ≈ 0.51 at sf0.01), so a 0.99-threshold near-dup scan over the raw
+# table is trivially empty. The query therefore plants N_PLANT exact scaled
+# copies (vec * 2.0 — cosine 1.0; the float×2 is exact, so LSH signatures
+# match the originals bit-for-bit in BOTH engines) and must find precisely
+# those pairs. Non-empty, oracle-verified output at every SF (VERDICT r02 #3).
+N_PLANT = 8
+PLANT_ID_OFFSET = 1_000_000
 
 
 def q_cosine_near_dup(spark, sf_dir):
     """LSH band candidates + exact cosine re-check (the bounded scale path;
-    all-pairs brute force is test-only). Oracle replicates the same bands."""
-    emb = t(spark, sf_dir, "embeddings")
+    all-pairs brute force is test-only). Oracle replicates the same bands
+    AND the same planted scaled-copy rows."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < N_PLANT).select(
+        (F.col("vec_id") + PLANT_ID_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
     return D.cosine_near_dup_pairs_lsh(
-        emb, "embedding", "vec_id", COSINE_DUP_THRESHOLD,
+        emb.unionByName(planted), "embedding", "vec_id", COSINE_DUP_THRESHOLD,
         n_dims=EMB_DIMS, n_planes=LSH_PLANES, band_bits=LSH_BAND_BITS,
     ).select("id_a", "id_b")
 
@@ -170,7 +185,13 @@ def _sql_cosine_near_dup() -> str:
     sig = S.sql_signature("e", EMB_DIMS, LSH_PLANES)
     mask = (1 << LSH_BAND_BITS) - 1
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_ID_OFFSET},
+         list_transform(embedding::DOUBLE[], x -> x * 2.0)
+  FROM embeddings WHERE vec_id < {N_PLANT}
+),
 sig AS (SELECT vec_id, e, {sig} AS sig FROM v),
 bands AS (
   SELECT vec_id, e, band, (sig >> (band * {LSH_BAND_BITS})) & {mask} AS bucket
@@ -387,20 +408,41 @@ def _sql_morton() -> str:
 SQL_MORTON_CODES = _sql_morton()
 
 
+HLL_RSD = 0.02
+HLL_ERROR_BOUND = 0.05  # contract: |approx - exact| / exact ≤ 5% (rsd 2%)
+
+
 def q_approx_distinct(spark, sf_dir):
     """HLL++ sketch aggregation — the documented swap for exact
-    countDistinct at 10^12 scale (SURVEY §2.4 A3). Register-merge is
-    commutative/associative, so results are deterministic under any
-    partitioning → rows-only driver check (no DuckDB oracle: different
-    sketch implementation)."""
+    countDistinct at 10^12 scale (SURVEY §2.4 A3). The sketch itself isn't
+    SQL-replicable, so the oracle-checked output carries the EXACT distinct
+    count plus a boolean asserting the sketch landed within the error
+    contract: the oracle claims TRUE, so an out-of-bound estimate
+    hash-mismatches (VERDICT r02 #5). Register-merge is commutative/
+    associative → deterministic under any partitioning."""
     ev = t(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", HLL_RSD)
+    exact = F.count_distinct("user_id")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            exact.alias("exact_users"),
             F.count("*").alias("cnt"),
+            (
+                F.abs(approx.cast("double") - exact.cast("double"))
+                <= F.lit(HLL_ERROR_BOUND) * exact.cast("double")
+            ).alias("approx_within_bound"),
         )
     )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       TRUE AS approx_within_bound
+FROM events GROUP BY 1
+"""
 
 
 ML_REGISTRY: dict = {
@@ -416,7 +458,7 @@ ML_REGISTRY: dict = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
-    "approx_distinct": (q_approx_distinct, None),
+    "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
     "multimodal_features": (q_multimodal_features, None),
     "morton_codes": (q_morton_codes, SQL_MORTON_CODES),

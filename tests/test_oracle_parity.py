@@ -19,6 +19,9 @@ def test_query_matches_oracle(spark, name):
     spark_tbl = spark_arrow(fn(spark, SF_ORACLE))
     oracle_tbl = duckdb_arrow(sql, SF_ORACLE)
     assert_arrow_match(spark_tbl, oracle_tbl, name)
+    # an oracle that passes on an empty result set verifies nothing
+    # (VERDICT r02 #3) — every registry query must produce rows at sf0.01
+    assert spark_tbl.num_rows > 0, f"{name}: oracle passed on empty output"
 
 
 def test_entry_smoke(spark):
