@@ -365,18 +365,56 @@ FROM documents
 """
 
 
+# multimodal_features: synthetic payload geometry — REAL image bytes built
+# per doc (PNG with valid zlib IDAT; JPEG/GIF marker streams), then parsed
+# back by the library-free header decoder. Dimensions derive from doc_id
+# arithmetic, so DuckDB replicates the EXPECTED metadata without decoding:
+# the oracle verifies the decoder recovered exactly what was encoded.
+MM_W_BASE, MM_W_MOD = 16, 32
+MM_H_BASE, MM_H_MOD = 8, 16
+MM_FORMATS = ("png", "jpeg", "gif")
+
+
 def q_multimodal_features(spark, sf_dir):
-    """mapInPandas feature extraction (deterministic fake decoder) —
-    rows-only check (the decoder is an engine-side kernel, not SQL)."""
-    docs = t(spark, sf_dir, "documents").withColumn(
-        "payload", F.col("text").cast("binary")
-    )
-    feats = M.extract_features(docs, "payload", ["doc_id"], n_features=16)
-    return feats.select(
-        "doc_id",
-        "media_size_bytes",
-        F.size("features").alias("n_features"),
-    )
+    """Round-trip image metadata: synthesize a real image payload per doc
+    (format/dimensions from doc_id), parse headers back via the mapInPandas
+    decoder, and emit the recovered geometry (oracle: doc_id arithmetic)."""
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w = MM_W_BASE + i % MM_W_MOD
+                h = MM_H_BASE + i % MM_H_MOD
+                fmt = MM_FORMATS[i % 3]
+                if fmt == "png":
+                    payloads.append(M.synth_png(w, h, seed=i))
+                elif fmt == "jpeg":
+                    payloads.append(M.synth_jpeg(w, h))
+                else:
+                    payloads.append(M.synth_gif(w, h))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_payload = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return M.decode_image_meta(with_payload, "payload", ["doc_id"])
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                                    WHEN 1 THEN 'jpeg'
+                                    ELSE 'gif' END AS format,
+       CAST({MM_W_BASE} + doc_id % {MM_W_MOD} AS INT) AS width,
+       CAST({MM_H_BASE} + doc_id % {MM_H_MOD} AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(8 AS INT) AS bit_depth
+FROM documents
+"""
 
 
 # ---------------------------------------------------------- zorder kernel
@@ -460,6 +498,6 @@ ML_REGISTRY: dict = {
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "morton_codes": (q_morton_codes, SQL_MORTON_CODES),
 }

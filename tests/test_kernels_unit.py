@@ -137,3 +137,100 @@ def test_fake_features_deterministic_normalized(payload):
     assert a.shape == (16,) and (a == b).all()
     if len(payload):
         assert abs(float(a.sum()) - 1.0) < 1e-3
+
+
+# ----------------------------------------------------- image header decode
+
+def test_parse_png_header_roundtrip():
+    from ecommerce_lakehouse_spark.functions.multimodal import (
+        parse_image_header, synth_png,
+    )
+
+    for w, h in ((1, 1), (16, 8), (640, 480), (47, 313)):
+        meta = parse_image_header(synth_png(w, h, seed=w))
+        assert meta == {
+            "format": "png", "width": w, "height": h,
+            "channels": 3, "bit_depth": 8,
+        }
+
+
+def test_synth_png_is_fully_valid():
+    """The synthetic PNG must be a real PNG: correct chunk CRCs and an IDAT
+    that inflates to exactly height*(1+width*3) filter+pixel bytes."""
+    import struct
+    import zlib
+
+    from ecommerce_lakehouse_spark.functions.multimodal import synth_png
+
+    b = synth_png(21, 9, seed=4)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    off, chunks = 8, {}
+    while off < len(b):
+        ln = struct.unpack(">I", b[off:off + 4])[0]
+        ctype = b[off + 4:off + 8]
+        data = b[off + 8:off + 8 + ln]
+        crc = struct.unpack(">I", b[off + 8 + ln:off + 12 + ln])[0]
+        assert crc == zlib.crc32(ctype + data), f"bad CRC on {ctype}"
+        chunks[ctype] = data
+        off += 12 + ln
+    assert set(chunks) == {b"IHDR", b"IDAT", b"IEND"}
+    raw = zlib.decompress(chunks[b"IDAT"])
+    assert len(raw) == 9 * (1 + 21 * 3)
+
+
+def test_parse_jpeg_header_walks_marker_stream():
+    from ecommerce_lakehouse_spark.functions.multimodal import (
+        parse_image_header, synth_jpeg,
+    )
+
+    meta = parse_image_header(synth_jpeg(320, 200))
+    assert meta == {
+        "format": "jpeg", "width": 320, "height": 200,
+        "channels": 3, "bit_depth": 8,
+    }
+
+
+def test_parse_gif_header():
+    from ecommerce_lakehouse_spark.functions.multimodal import (
+        parse_image_header, synth_gif,
+    )
+
+    meta = parse_image_header(synth_gif(99, 77))
+    assert meta == {
+        "format": "gif", "width": 99, "height": 77,
+        "channels": 3, "bit_depth": 8,
+    }
+
+
+def test_parse_image_header_rejects_non_images():
+    from ecommerce_lakehouse_spark.functions.multimodal import parse_image_header
+
+    assert parse_image_header(None) is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"<html><body>hi</body></html>") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\x00 corrupted") is None
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # SOI+EOI, no SOF
+
+
+def test_header_features_carry_real_dimensions():
+    from ecommerce_lakehouse_spark.functions.multimodal import (
+        _header_features, synth_png,
+    )
+
+    f = _header_features(synth_png(33, 12), 16)
+    assert list(f[:4]) == [33.0, 12.0, 3.0, 8.0]
+    assert len(f) == 16
+
+
+def test_sniff_media_type_on_synth_payloads(spark):
+    from ecommerce_lakehouse_spark.functions.multimodal import (
+        binary_metadata, synth_gif, synth_jpeg, synth_png,
+    )
+
+    df = spark.createDataFrame(
+        [("p", bytearray(synth_png(4, 4))), ("j", bytearray(synth_jpeg(4, 4))),
+         ("g", bytearray(synth_gif(4, 4)))],
+        "k string, payload binary",
+    )
+    got = {r.k: r.media_type for r in binary_metadata(df, "payload").collect()}
+    assert got == {"p": "image/png", "j": "image/jpeg", "g": "image/gif"}
