@@ -149,11 +149,71 @@ def main() -> None:
             1 - maint["files_scanned_url_range"] / n_files, 3
         )
 
+        # surgical point-merge on the standard (prefix-Morton) layout:
+        # 8 urls spread across the key space (the late-data-patch / targeted
+        # delete shape) — the control for the bucketed segment below
+        def point_delta(src_tbl, n_urls=8):
+            urls = sorted(
+                r.url for r in src_tbl.scan().select("url").distinct().collect()
+            )
+            picked = urls[:: max(1, len(urls) // n_urls)][:n_urls]
+            from pyspark.sql import functions as F
+
+            return dedup_latest(
+                src_tbl.scan().filter(F.col("url").isin(picked))
+                .withColumn("text", F.concat(F.lit("patch "), F.col("text"))),
+                ["url"], "warc_ts",
+            )
+
+        pd_std = point_delta(tbl)
+        pd_std.write.mode("overwrite").parquet(f"{work}/pdelta_std")
+        t0 = time.time()
+        merge_into(tbl, spark.read.parquet(f"{work}/pdelta_std"), "url")
+        maint["point_merge_sec"] = round(time.time() - t0, 3)
+        psum = tbl.current_snapshot().summary
+        maint["point_merge_candidates_global"] = psum.get("merge_candidates_global")
+        maint["point_merge_candidates_scanned"] = psum.get("merge_candidates_scanned")
+
         t0 = time.time()
         rewrite_manifests(tbl)
         expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)
         maint["metadata_maintenance_sec"] = round(time.time() - t0, 3)
         maint["table_gb"] = round(table_bytes / 1e9, 3)
+
+        # ------------- bucketed-layout segment (round 3) -------------------
+        # Same data, hash-bucket layout + DEFAULT (url-hash) Morton — the
+        # layout where per-file url intervals are uselessly wide, so any
+        # discovery cut must come from bucket tags (VERDICT r02 #2).
+        t0 = time.time()
+        btbl = IcehouseTable.create(
+            spark, f"{work}/pages_bucketed",
+            generate_pages(spark, N_PAGES, seed=42, partitions=CPUS * 2),
+            properties={"bucket.key": "url", "bucket.n": 16},
+        )
+        zorder_by(btbl, curve="morton",
+                  target_file_bytes=max(1 << 20, table_bytes // 12))
+        maint["bucketed_build_sec"] = round(time.time() - t0, 3)
+        maint["bucketed_files"] = len(btbl.live_files())
+
+        pd_b = point_delta(btbl)
+        pd_b.write.mode("overwrite").parquet(f"{work}/pdelta_b")
+        t0 = time.time()
+        merge_into(btbl, spark.read.parquet(f"{work}/pdelta_b"), "url")
+        maint["bucketed_point_merge_sec"] = round(time.time() - t0, 3)
+        bsum = btbl.current_snapshot().summary
+        maint["bucketed_point_merge_candidates_global"] = bsum.get(
+            "merge_candidates_global"
+        )
+        maint["bucketed_point_merge_candidates_scanned"] = bsum.get(
+            "merge_candidates_scanned"
+        )
+        # bulk merge throughput on the bucketed layout (same delta as the
+        # standard table's headline merge)
+        t0 = time.time()
+        merge_into(btbl, delta, "url", target_file_rows=N_PAGES // CPUS)
+        bulk_sec = time.time() - t0
+        maint["bucketed_merge_sec"] = round(bulk_sec, 3)
+        maint["bucketed_merge_rows_per_sec"] = round(n_delta / bulk_sec, 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -46,6 +46,35 @@ def morton_interleave(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# k-dimensional Morton — generic bit interleave (63//k bits per dimension so
+# codes stay positive int64); fully vectorized: bits*k shift/or passes.
+# ---------------------------------------------------------------------------
+
+def bits_for_dims(k: int) -> int:
+    """Bits per dimension so the interleaved code fits a positive int64."""
+    if k < 2:
+        raise ValueError("need >= 2 dimensions")
+    return 63 // k
+
+
+def morton_interleave_k(coords: list[np.ndarray], bits: int | None = None) -> np.ndarray:
+    """Interleave k coordinate arrays into Morton codes (dim 0 = lowest bit).
+
+    For k=2 with bits=31 this agrees bit-for-bit with morton_interleave."""
+    k = len(coords)
+    if bits is None:
+        bits = bits_for_dims(k)
+    mask = np.uint64((1 << bits) - 1)
+    cs = [c.astype(np.uint64) & mask for c in coords]
+    out = np.zeros_like(cs[0])
+    one = np.uint64(1)
+    for b in range(bits):
+        for d, c in enumerate(cs):
+            out |= ((c >> np.uint64(b)) & one) << np.uint64(b * k + d)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Hilbert — iterative xy→d, vectorized rotations (31 rounds of numpy ops)
 # ---------------------------------------------------------------------------
 
@@ -73,6 +102,113 @@ def hilbert_index(x: np.ndarray, y: np.ndarray, bits: int = BITS) -> np.ndarray:
         x = xt
         s >>= one
     return d
+
+
+def hilbert_index_k(coords: list[np.ndarray], bits: int | None = None) -> np.ndarray:
+    """k-dimensional Hilbert index via Skilling's transpose algorithm
+    (J. Skilling, "Programming the Hilbert curve", AIP Conf. Proc. 707,
+    2004) — vectorized: the per-bit invert/exchange passes become numpy
+    masked ops, then the transposed coordinates are bit-interleaved
+    MSB-first into the index. ~bits*k vector passes, no Python per row."""
+    n = len(coords)
+    if bits is None:
+        bits = bits_for_dims(n)
+    mask = np.uint64((1 << bits) - 1)
+    X = [c.astype(np.uint64) & mask for c in coords]
+    one = np.uint64(1)
+
+    # inverse undo excess work
+    Q = np.uint64(1) << np.uint64(bits - 1)
+    while Q > one:
+        P = Q - one
+        for i in range(n):
+            nz = (X[i] & Q) != 0
+            X[0] = np.where(nz, X[0] ^ P, X[0])            # invert
+            t = np.where(nz, np.uint64(0), (X[0] ^ X[i]) & P)  # exchange
+            X[0] ^= t
+            X[i] ^= t
+        Q >>= one
+    # Gray encode
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = np.uint64(1) << np.uint64(bits - 1)
+    while Q > one:
+        t = np.where((X[n - 1] & Q) != 0, t ^ (Q - one), t)
+        Q >>= one
+    for i in range(n):
+        X[i] ^= t
+
+    # interleave the transposed coordinates MSB-first: X[0] holds the most
+    # significant bit of each bit-plane
+    d = np.zeros_like(X[0])
+    for j in range(bits - 1, -1, -1):
+        for i in range(n):
+            d = (d << one) | ((X[i] >> np.uint64(j)) & one)
+    return d
+
+
+def _skilling_axes_to_transpose(x: list[int], bits: int) -> list[int]:
+    """Scalar Skilling AxestoTranspose (reference for kernel tests)."""
+    X = list(x)
+    n = len(X)
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        if X[n - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    return [v ^ t for v in X]
+
+
+def hilbert_index_k_slow(coords: list[int], bits: int) -> int:
+    """Scalar k-dim Hilbert index (reference for kernel tests)."""
+    X = _skilling_axes_to_transpose(coords, bits)
+    d = 0
+    for j in range(bits - 1, -1, -1):
+        for i in range(len(X)):
+            d = (d << 1) | ((X[i] >> j) & 1)
+    return d
+
+
+def hilbert_transpose_to_axes(h: int, n: int, bits: int) -> list[int]:
+    """Scalar inverse (index -> coordinates) — used by tests to prove the
+    curve property: consecutive indexes differ by exactly one unit step."""
+    # de-interleave MSB-first into the transposed form
+    X = [0] * n
+    for b in range(n * bits):
+        X[b % n] = (X[b % n] << 1) | ((h >> (n * bits - 1 - b)) & 1)
+    # Skilling TransposetoAxes
+    N = 2 << (bits - 1)
+    t = X[n - 1] >> 1
+    for i in range(n - 1, 0, -1):
+        X[i] ^= X[i - 1]
+    X[0] ^= t
+    Q = 2
+    while Q != N:
+        P = Q - 1
+        for i in range(n - 1, -1, -1):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q <<= 1
+    return X
 
 
 def hilbert_index_slow(x: int, y: int, bits: int = BITS) -> int:
@@ -113,18 +249,42 @@ def hilbert_udf(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(codes.astype(np.int64))
 
 
-def coord31(col: Column, lo: Column | None = None, hi: Column | None = None) -> Column:
-    """Normalize a numeric column into [0, 2^31) JVM-side.
+# no per-arg type hints on the varargs UDFs: this module uses
+# `from __future__ import annotations` and pandas_udf's hint inference
+# can't resolve stringified hints for *args — the explicit returnType
+# makes them scalar UDFs regardless
+@pandas_udf(LongType())
+def morton_k_udf(*cols):
+    arrs = [c.fillna(0).to_numpy(np.int64) for c in cols]
+    codes = morton_interleave_k(arrs, bits_for_dims(len(arrs)))
+    return pd.Series(codes.astype(np.int64))
+
+
+@pandas_udf(LongType())
+def hilbert_k_udf(*cols):
+    arrs = [c.fillna(0).to_numpy(np.int64) for c in cols]
+    codes = hilbert_index_k(arrs, bits_for_dims(len(arrs)))
+    return pd.Series(codes.astype(np.int64))
+
+
+def coordn(col: Column, bits: int, lo: Column | None = None,
+           hi: Column | None = None) -> Column:
+    """Normalize a numeric column into [0, 2^bits) JVM-side.
 
     With lo/hi bounds: min-max scale (for timestamps etc.); without: mask to
-    the low 31 bits (for already-uniform hashes).
+    the low ``bits`` bits (for already-uniform hashes).
     """
     if lo is None:
-        return F.pmod(col.cast("long"), F.lit(1 << BITS))
+        return F.pmod(col.cast("long"), F.lit(1 << bits))
     span = (hi.cast("double") - lo.cast("double"))
     frac = (col.cast("double") - lo.cast("double")) / F.when(span > 0, span).otherwise(F.lit(1.0))
-    scaled = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0)) * F.lit(float((1 << BITS) - 1))
+    scaled = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0)) * F.lit(float((1 << bits) - 1))
     return scaled.cast("long")
+
+
+def coord31(col: Column, lo: Column | None = None, hi: Column | None = None) -> Column:
+    """31-bit (2-D default) wrapper over :func:`coordn`."""
+    return coordn(col, BITS, lo, hi)
 
 
 def url_hash31(url: Column) -> Column:

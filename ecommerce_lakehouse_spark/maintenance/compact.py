@@ -50,28 +50,43 @@ def plan_compaction(
     small_file_ratio: float = SMALL_FILE_RATIO,
     min_bin_files: int = 2,
 ) -> list[CompactionBin]:
-    """First-fit-decreasing pack of small files into ≈target-size bins."""
+    """First-fit-decreasing pack of small files into ≈target-size bins.
+
+    On bucketed tables, bins never cross bucket boundaries: mixing buckets
+    in one output file would erase its bucket tag and cost MERGE discovery
+    its zero-read routing forever after. Untagged legacy files form their
+    own group and may still be packed together."""
+    from ..table.format import bucket_of_file
+
     threshold = int(target_file_bytes * small_file_ratio)
     small = sorted(
         (f for f in table.live_files() if f.size_bytes < threshold),
         key=lambda f: f.size_bytes,
         reverse=True,
     )
-    bins: list[list[DataFile]] = []
-    loads: list[int] = []
+    groups: dict = {}
     for f in small:
-        placed = False
-        for i, load in enumerate(loads):
-            if load + f.size_bytes <= target_file_bytes:
-                bins[i].append(f)
-                loads[i] += f.size_bytes
-                placed = True
-                break
-        if not placed:
-            bins.append([f])
-            loads.append(f.size_bytes)
+        groups.setdefault(bucket_of_file(f), []).append(f)
+    all_bins: list[list[DataFile]] = []
+    for _bucket, gfiles in sorted(
+        groups.items(), key=lambda kv: (kv[0] is None, kv[0])
+    ):
+        bins: list[list[DataFile]] = []
+        loads: list[int] = []
+        for f in gfiles:
+            placed = False
+            for i, load in enumerate(loads):
+                if load + f.size_bytes <= target_file_bytes:
+                    bins[i].append(f)
+                    loads[i] += f.size_bytes
+                    placed = True
+                    break
+            if not placed:
+                bins.append([f])
+                loads.append(f.size_bytes)
+        all_bins.extend(bins)
     out = []
-    for i, files in enumerate(b for b in bins if len(b) >= min_bin_files):
+    for i, files in enumerate(b for b in all_bins if len(b) >= min_bin_files):
         files = sorted(files, key=lambda f: f.path)
         out.append(CompactionBin(bin_id=f"bin{i:05d}", files=files))
     return out
@@ -105,15 +120,25 @@ def _rewrite_bin(
     if stats_cols is None:
         stats_cols = IcehouseTable._default_stats_cols(schema)
     collected = collect_stats(spark, moved, stats_cols)
-    return [
-        DataFile(
-            os.path.relpath(c["path"], table.path),
-            c["row_count"],
-            c["size_bytes"],
-            c["stats"],
+    # single-bucket bins (the planner never mixes buckets) pass their tag on
+    from ..table.format import BUCKET_STAT, bucket_of_file
+
+    bin_buckets = {bucket_of_file(f) for f in b.files}
+    tag = bin_buckets.pop() if len(bin_buckets) == 1 else None
+    out = []
+    for c in collected:
+        st = c["stats"]
+        if tag is not None:
+            st = {**st, BUCKET_STAT: {"min": tag, "max": tag, "null_count": 0}}
+        out.append(
+            DataFile(
+                os.path.relpath(c["path"], table.path),
+                c["row_count"],
+                c["size_bytes"],
+                st,
+            )
         )
-        for c in collected
-    ]
+    return out
 
 
 def compact(

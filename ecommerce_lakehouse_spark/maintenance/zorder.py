@@ -39,8 +39,11 @@ import os
 from pyspark.sql import functions as F
 
 from ..functions.zorder_kernel import (
-    coord31,
+    bits_for_dims,
+    coordn,
+    hilbert_k_udf,
     hilbert_udf,
+    morton_k_udf,
     morton_udf,
     url_hash31,
     url_prefix31,
@@ -51,13 +54,11 @@ from ..table.predicates import Predicate, prune_files
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
-def _ts_bounds_from_stats(
-    files: list[DataFile], ts_col: str
-) -> tuple[int, int]:
-    """min/max epoch-us of ts_col across the given files, from manifests."""
+def _bounds_from_stats(files: list[DataFile], col: str) -> tuple:
+    """min/max of a column across the given files, from manifest stats."""
     lo, hi = None, None
     for f in files:
-        st = f.stats.get(ts_col)
+        st = f.stats.get(col)
         if not st:
             continue
         if st.get("min") is not None:
@@ -65,8 +66,15 @@ def _ts_bounds_from_stats(
         if st.get("max") is not None:
             hi = st["max"] if hi is None else max(hi, st["max"])
     if lo is None or hi is None:
-        raise ValueError(f"no stats for {ts_col}; cannot scale coordinates")
+        raise ValueError(f"no stats for {col}; cannot scale coordinates")
     return lo, hi
+
+
+def _ts_bounds_from_stats(
+    files: list[DataFile], ts_col: str
+) -> tuple[int, int]:
+    """min/max epoch-us of ts_col across the given files, from manifests."""
+    return _bounds_from_stats(files, ts_col)
 
 
 def last_cluster_snapshot_id(table: IcehouseTable) -> int | None:
@@ -108,12 +116,20 @@ def zorder_by(
     url_coord: str = "hash",
     scope: str = "full",
     predicates: list[Predicate] | None = None,
+    extra_cols: list[str] | None = None,
 ) -> Snapshot | None:
-    """Rewrite the scoped file set clustered by curve(url-coord, warc_ts).
+    """Rewrite the scoped file set clustered by curve(url-coord, warc_ts,
+    *extra_cols).
 
     url_coord="hash" (default, BASELINE spec): xxhash64 coordinate —
     key-equality locality for MERGE. url_coord="prefix": lexicographic
     4-byte coordinate — url-RANGE predicates prune post-cluster too.
+
+    ``extra_cols`` adds clustering dimensions beyond (url, ts) — e.g. lang —
+    via the k-dim Morton/Hilbert kernels (63//k bits per axis): string
+    dimensions use an xxhash64 coordinate, numeric/timestamp dimensions are
+    min-max scaled from manifest stats. Per-file min/max of EVERY clustered
+    axis lands in the manifests, so scans prune on any of them.
 
     scope="full" rewrites every live file (round-1 behavior);
     scope="incremental" rewrites only files added since the last cluster-*
@@ -124,7 +140,12 @@ def zorder_by(
         raise ValueError(f"unknown curve {curve!r}")
     if url_coord not in ("hash", "prefix"):
         raise ValueError(f"unknown url_coord {url_coord!r}")
-    kernel = morton_udf if curve == "morton" else hilbert_udf
+    n_dims = 2 + len(extra_cols or [])
+    bits = bits_for_dims(n_dims)
+    if n_dims == 2:
+        kernel = morton_udf if curve == "morton" else hilbert_udf
+    else:
+        kernel = morton_k_udf if curve == "morton" else hilbert_k_udf
 
     files = _scoped_files(table, scope, predicates)
     if not files:
@@ -158,7 +179,11 @@ def zorder_by(
     lo = epoch + datetime.timedelta(microseconds=lo_us)
     hi = epoch + datetime.timedelta(microseconds=hi_us)
     if url_coord == "hash":
-        x = url_hash31(F.col(url_col))
+        x = (
+            url_hash31(F.col(url_col))
+            if n_dims == 2
+            else coordn(F.xxhash64(F.col(url_col)), bits)
+        )
     else:
         # lexicographic coordinate: skip the scoped-set common url prefix
         # (from manifest stats — 'https://…' carries zero information)
@@ -184,25 +209,50 @@ def zorder_by(
         hi_i = _first4_int(hi_s) if hi_s else (1 << 31) - 1
         # min-max scale: ASCII urls occupy a narrow byte band, so without
         # scaling the top interleave bits carry no information
-        x = coord31(
+        x = coordn(
             url_prefix31(F.col(url_col), skip_common_prefix=lcp),
-            lo=F.lit(lo_i), hi=F.lit(hi_i),
+            bits, lo=F.lit(lo_i), hi=F.lit(hi_i),
         )
-    y = coord31(
+    y = coordn(
         F.unix_micros(F.col(ts_col).cast("timestamp")),
+        bits,
         lo=F.unix_micros(F.lit(lo).cast("timestamp")),
         hi=F.unix_micros(F.lit(hi).cast("timestamp")),
     )
-    coded = df.withColumn("__zcode", kernel(x, y))
-    clustered = (
-        coded.repartitionByRange(n_out, "__zcode")
-        .sortWithinPartitions("__zcode")
-        .drop("__zcode")
-    )
+    extra_coords = []
+    schema = table.schema()
+    for c in extra_cols or []:
+        dtype = schema[c].dataType.typeName()
+        if dtype == "string":
+            extra_coords.append(coordn(F.xxhash64(F.col(c)), bits))
+            continue
+        try:
+            c_lo, c_hi = _bounds_from_stats(files, c)
+        except ValueError:
+            extra_coords.append(coordn(F.xxhash64(F.col(c)), bits))
+            continue
+        if dtype.startswith("timestamp"):
+            c_lo_col = F.lit(epoch + datetime.timedelta(microseconds=c_lo)).cast("timestamp")
+            c_hi_col = F.lit(epoch + datetime.timedelta(microseconds=c_hi)).cast("timestamp")
+            extra_coords.append(coordn(
+                F.unix_micros(F.col(c).cast("timestamp")), bits,
+                lo=F.unix_micros(c_lo_col), hi=F.unix_micros(c_hi_col),
+            ))
+        else:
+            extra_coords.append(
+                coordn(F.col(c), bits, lo=F.lit(c_lo), hi=F.lit(c_hi))
+            )
+    coded = df.withColumn("__zcode", kernel(x, y, *extra_coords))
+    # staging range-partitions + sorts on the transient code (and composes
+    # with the bucket layout when the table has one: files come out
+    # (bucket, zcode-range)-sliced, so bucket tags AND tight ts bounds
+    # coexist — see IcehouseTable._stage_dataframe)
     return table.replace_files(
         [f.path for f in files],
-        clustered,
+        coded,
         operation=f"cluster-{curve}",
+        target_partitions=n_out,
+        cluster_by=["__zcode"],
         extra_summary={
             "cluster_curve": curve,
             "cluster_scope": scope,

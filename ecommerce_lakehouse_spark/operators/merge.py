@@ -73,6 +73,32 @@ def _candidate_files(table: IcehouseTable, source: DataFrame, key_cols: list[str
 INTERVAL_ROUTE_MIN_FILES = 8
 
 
+def _bucket_candidates(candidates, src_keys: DataFrame, key: str, n: int):
+    """Route source keys to hash buckets and keep only files tagged with a
+    hit bucket (table/format bucket layout). ZERO data read: the tag lives
+    in manifest stats, and the routing job is one narrow distinct over the
+    already-deduped key set (≤ n output rows). Unlike per-file interval
+    routing this works on ANY clustering layout — 2-D Morton files span
+    wide key ranges by design, but their bucket tags stay exact. Untagged
+    files (pre-bucketing lineage, cross-bucket rewrites) are always kept."""
+    from ..table.format import bucket_id_expr, bucket_of_file
+
+    tagged = [f for f in candidates if bucket_of_file(f) is not None]
+    if not tagged:
+        return candidates
+    hit = {
+        r["__b"]
+        for r in src_keys.select(bucket_id_expr(key, n).alias("__b"))
+        .distinct()
+        .collect()
+        if r["__b"] is not None
+    }
+    return [
+        f for f in candidates
+        if bucket_of_file(f) is None or bucket_of_file(f) in hit
+    ]
+
+
 def _interval_candidates(candidates, src_keys: DataFrame, key: str):
     """Refine global-bounds candidates using the PER-FILE key intervals.
 
@@ -315,6 +341,12 @@ def merge_into(
         )
     candidates = _prune_candidates(table.live_files(), prep, keys)
     n_global_candidates = len(candidates)
+    bucket_spec = table.bucket_spec()
+    if candidates and bucket_spec is not None and keys == [bucket_spec[0]]:
+        # bucket-tag routing: layout-independent, zero data read
+        candidates = _bucket_candidates(
+            candidates, src_keys, bucket_spec[0], bucket_spec[1]
+        )
     if candidates and len(keys) == 1:
         # per-file interval routing: on clustered tables this is what keeps
         # the discovery read O(touched ranges) instead of O(candidates)

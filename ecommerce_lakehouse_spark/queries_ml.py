@@ -450,6 +450,43 @@ HLL_RSD = 0.02
 HLL_ERROR_BOUND = 0.05  # contract: |approx - exact| / exact ≤ 5% (rsd 2%)
 
 
+def q_morton3_codes(spark, sf_dir):
+    """The k-dimensional Morton kernel (3 axes, 16 bits each — VERDICT r02
+    #7), oracle-checked against unrolled bit-interleave SQL. The third axis
+    is a Knuth multiplicative hash of the key, exactly replicable in SQL."""
+    from .functions.zorder_kernel import morton_k_udf
+
+    orders = t(spark, sf_dir, "orders")
+    x = F.col("o_orderkey").bitwiseAND(F.lit(0xFFFF))
+    y = F.col("o_custkey").bitwiseAND(F.lit(0xFFFF))
+    z = F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(65536))
+    return orders.select(
+        "o_orderkey", morton_k_udf(x, y, z).alias("morton3_code")
+    )
+
+
+def _sql_morton3() -> str:
+    # dim d of 3 lands at bit position 3*i + d; every term parenthesized
+    # (SQL '<<' binds looser than '+'); 21 bits per dim available, 16 used
+    terms = []
+    dims = [
+        "(o_orderkey & 65535)",
+        "(o_custkey & 65535)",
+        "((o_orderkey * 2654435761) % 65536)",
+    ]
+    for d, expr in enumerate(dims):
+        terms.append(" + ".join(
+            f"((({expr} >> {i}) & 1) << {3 * i + d})" for i in range(16)
+        ))
+    total = " + ".join(f"({t})" for t in terms)
+    return (
+        f"SELECT o_orderkey, CAST({total} AS BIGINT) AS morton3_code FROM orders"
+    )
+
+
+SQL_MORTON3_CODES = _sql_morton3()
+
+
 def q_approx_distinct(spark, sf_dir):
     """HLL++ sketch aggregation — the documented swap for exact
     countDistinct at 10^12 scale (SURVEY §2.4 A3). The sketch itself isn't
@@ -500,4 +537,5 @@ ML_REGISTRY: dict = {
     "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "morton_codes": (q_morton_codes, SQL_MORTON_CODES),
+    "morton3_codes": (q_morton3_codes, SQL_MORTON3_CODES),
 }

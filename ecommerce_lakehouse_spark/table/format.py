@@ -47,6 +47,38 @@ class CommitConflict(Exception):
     """Another writer committed first and the operations don't compose."""
 
 
+# --------------------------------------------------------------- bucketing
+# Iceberg-style hash-bucket layout (opt-in via table properties):
+#   bucket.key = <column>, bucket.n = <int>
+# Staged files are written through partitionBy on a TRANSIENT
+# pmod(xxhash64(key), n) column (the column never lands in the parquet
+# data), and each file's bucket id is recorded in its manifest stats under
+# the synthetic "__bucket" entry — zero manifest-format change. MERGE
+# discovery then routes source keys to buckets and prunes files by tag with
+# ZERO data read, independent of any clustering layout (this is what works
+# on 2-D Morton layouts where per-file key-interval routing self-disables).
+
+BUCKET_KEY_PROP = "bucket.key"
+BUCKET_N_PROP = "bucket.n"
+BUCKET_STAT = "__bucket"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def bucket_id_expr(key: str, n: int):
+    """The bucket function — MUST be identical at write and discovery time:
+    pmod(xxhash64(key), n), all JVM-side (whole-stage codegen, no Python)."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int")
+
+
+def bucket_of_file(f: "DataFile") -> int | None:
+    """The bucket tag a staged file carries in its manifest stats (None for
+    files written before bucketing was enabled, or cross-bucket rewrites)."""
+    st = f.stats.get(BUCKET_STAT) or {}
+    return st.get("min")
+
+
 @dataclass
 class DataFile:
     path: str
@@ -239,42 +271,113 @@ class IcehouseTable:
 
     # ----------------------------------------------------------------- write
 
+    def bucket_spec(self) -> tuple[str, int] | None:
+        """(key_column, n_buckets) when the hash-bucket layout is on."""
+        if not self.exists():
+            return None
+        return self._spec_from_props(self.properties())
+
+    @staticmethod
+    def _spec_from_props(props: dict | None) -> tuple[str, int] | None:
+        if props and props.get(BUCKET_KEY_PROP) and props.get(BUCKET_N_PROP):
+            return str(props[BUCKET_KEY_PROP]), int(props[BUCKET_N_PROP])
+        return None
+
     def _stage_dataframe(
         self,
         df: DataFrame,
         stats_cols: list[str] | None,
         snapshot_id: int,
         target_partitions: int | None = None,
+        cluster_by: list[str] | None = None,
+        bucket_props: dict | None = None,
     ) -> list[DataFile]:
-        """Write df's data as immutable parquet files + collect their stats."""
+        """Write df's data as immutable parquet files + collect their stats.
+
+        ``cluster_by``: transient sort columns (e.g. a Z-order code) — files
+        are range-partitioned and sorted on them so parquet/manifest stats
+        stay tight; the columns are dropped before the write.
+
+        When the table has a bucket spec, files are additionally written
+        through partitionBy on the transient bucket column: range
+        partitioning on (bucket, cluster_by...) keeps each output partition
+        inside (at most a boundary pair of) buckets, so clustering and
+        bucket tags COMPOSE — each file gets a single bucket id AND tight
+        cluster-key bounds.
+        """
         os.makedirs(self.data_dir, exist_ok=True)
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        if target_partitions is not None:
+        spec = self._spec_from_props(bucket_props) if bucket_props else self.bucket_spec()
+        bucketed = spec is not None and spec[0] in df.columns
+        drop_cols = list(cluster_by or [])
+        if bucketed:
+            key, n = spec
+            df = df.withColumn(BUCKET_STAT, bucket_id_expr(key, n))
+            n_parts = target_partitions or n
+            if cluster_by:
+                df = df.repartitionByRange(
+                    max(n_parts, 1), BUCKET_STAT, *cluster_by
+                ).sortWithinPartitions(BUCKET_STAT, *cluster_by)
+            else:
+                # hash repartition, NOT range: range partitioning samples its
+                # input, executing the upstream plan twice — which doubles
+                # any Observation metrics riding the write (merge) and the
+                # compute itself. partitionBy still splits files per bucket.
+                df = df.repartition(max(n_parts, 1), BUCKET_STAT)
+        elif cluster_by:
+            df = df.repartitionByRange(
+                max(target_partitions or 1, 1), *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        elif target_partitions is not None:
             df = df.repartition(target_partitions)
-        df.write.mode("overwrite").parquet(staging)
-        moved = []
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            final = os.path.join(
-                self.data_dir, f"{snapshot_id:08d}-{uuid.uuid4().hex[:12]}-{name}"
-            )
-            os.rename(os.path.join(staging, name), final)
-            moved.append(final)
+        if drop_cols:
+            df = df.drop(*drop_cols)
+
+        writer = df.write.mode("overwrite")
+        if bucketed:
+            writer = writer.partitionBy(BUCKET_STAT)
+        writer.parquet(staging)
+
+        moved: list[tuple[str, int | None]] = []
+        for root, dirs, names in os.walk(staging):
+            dirs.sort()
+            bucket_id: int | None = None
+            base = os.path.basename(root)
+            if base.startswith(f"{BUCKET_STAT}="):
+                val = base.split("=", 1)[1]
+                bucket_id = None if val == _HIVE_NULL else int(val)
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                final = os.path.join(
+                    self.data_dir,
+                    f"{snapshot_id:08d}-{uuid.uuid4().hex[:12]}-{name}",
+                )
+                os.rename(os.path.join(root, name), final)
+                moved.append((final, bucket_id))
         shutil.rmtree(staging, ignore_errors=True)
         if stats_cols is None:
             stats_cols = self._default_stats_cols(df.schema)
-        collected = stats_mod.collect_stats(self.spark, moved, stats_cols)
-        return [
-            DataFile(
-                os.path.relpath(c["path"], self.path),
-                c["row_count"],
-                c["size_bytes"],
-                c["stats"],
-                added_by=snapshot_id,
+        bucket_by_path = dict(moved)
+        collected = stats_mod.collect_stats(
+            self.spark, [p for p, _b in moved], stats_cols
+        )
+        out = []
+        for c in collected:
+            st = c["stats"]
+            b = bucket_by_path.get(c["path"])
+            if b is not None:
+                st = {**st, BUCKET_STAT: {"min": b, "max": b, "null_count": 0}}
+            out.append(
+                DataFile(
+                    os.path.relpath(c["path"], self.path),
+                    c["row_count"],
+                    c["size_bytes"],
+                    st,
+                    added_by=snapshot_id,
+                )
             )
-            for c in collected
-        ]
+        return out
 
     @staticmethod
     def _default_stats_cols(schema: StructType) -> list[str]:
@@ -428,7 +531,8 @@ class IcehouseTable:
         os.makedirs(tbl.data_dir, exist_ok=True)
         os.makedirs(tbl.ledger_dir, exist_ok=True)
         added = tbl._stage_dataframe(df, stats_cols, snapshot_id=1,
-                                     target_partitions=target_partitions)
+                                     target_partitions=target_partitions,
+                                     bucket_props=properties)
         tbl._commit(
             "append",
             added,
@@ -520,12 +624,14 @@ class IcehouseTable:
         extra_summary: dict | None = None,
         precomputed_added: list[DataFile] | None = None,
         schema_json: dict | None = None,
+        cluster_by: list[str] | None = None,
     ) -> Snapshot:
         """Copy-on-write primitive: atomically swap removed files for new data.
 
         MERGE, compaction and clustering all reduce to this. ``new_df=None``
         (with no precomputed files) expresses pure deletion. ``schema_json``
         widens the table schema in the same commit (schema evolution).
+        ``cluster_by`` sorts staged files on transient columns (clustering).
         """
         if precomputed_added is not None:
             added = precomputed_added
@@ -533,6 +639,7 @@ class IcehouseTable:
             added = self._stage_dataframe(
                 new_df, stats_cols, snapshot_id=self.current_version() + 1,
                 target_partitions=target_partitions,
+                cluster_by=cluster_by,
             )
         else:
             added = []

@@ -1,0 +1,143 @@
+"""Hash-bucket table layout (bucket.key/bucket.n properties): staged files
+carry a single-bucket manifest tag, MERGE discovery routes source keys to
+buckets with zero data read, and the layout composes with Z-order
+clustering and bucket-local compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_spark.datagen import generate_pages, generate_recrawl_delta
+from ecommerce_lakehouse_spark.maintenance.compact import compact, plan_compaction
+from ecommerce_lakehouse_spark.maintenance.zorder import zorder_by
+from ecommerce_lakehouse_spark.operators.merge import dedup_latest, merge_into
+from ecommerce_lakehouse_spark.table import IcehouseTable
+from ecommerce_lakehouse_spark.table.format import bucket_id_expr, bucket_of_file
+
+N_BUCKETS = 8
+BUCKET_PROPS = {"bucket.key": "url", "bucket.n": N_BUCKETS}
+
+
+@pytest.fixture()
+def bucketed(spark, tmp_path):
+    df = generate_pages(spark, 600, seed=41, partitions=3)
+    return IcehouseTable.create(
+        spark, str(tmp_path / "pages"), df, properties=BUCKET_PROPS
+    )
+
+
+def test_bucketed_create_tags_every_file(spark, bucketed):
+    files = bucketed.live_files()
+    assert files
+    for f in files:
+        assert bucket_of_file(f) is not None
+        assert 0 <= bucket_of_file(f) < N_BUCKETS
+    # the transient bucket column never lands in the data or the schema
+    assert "__bucket" not in [f.name for f in bucketed.schema().fields]
+    df = bucketed.scan()
+    assert "__bucket" not in df.columns
+    assert df.count() == 600
+
+
+def test_bucket_tag_matches_file_contents(spark, bucketed):
+    """Each file's rows must actually hash to its tagged bucket — the tag is
+    the routing contract."""
+    for f in bucketed.live_files():
+        got = (
+            spark.read.schema(bucketed.schema())
+            .parquet(f"{bucketed.path}/{f.path}")
+            .select(bucket_id_expr("url", N_BUCKETS).alias("b"))
+            .distinct()
+            .collect()
+        )
+        assert {r.b for r in got} == {bucket_of_file(f)}
+
+
+def test_merge_routes_by_bucket_tag(spark, bucketed):
+    """A delta touching few buckets reads only those buckets' files during
+    discovery — even though global key bounds overlap everything."""
+    urls = sorted(r.url for r in bucketed.scan().select("url").distinct().collect())
+    band = urls[:5] + urls[-5:]  # span the whole key range
+    delta = dedup_latest(
+        bucketed.scan().filter(F.col("url").isin(band))
+        .withColumn("text", F.concat(F.lit("rev9 "), F.col("text"))),
+        ["url"], "warc_ts",
+    )
+    n_target_rows = bucketed.scan().filter(F.col("url").isin(band)).count()
+    res = merge_into(bucketed, delta, "url")
+    assert res.rows_updated == n_target_rows
+    s = bucketed.current_snapshot().summary
+    assert s["merge_candidates_scanned"] < s["merge_candidates_global"], (
+        f"bucket routing should prune discovery: {s}"
+    )
+    assert bucketed.scan().count() == 600
+
+
+def test_bucket_layout_composes_with_zorder(spark, bucketed):
+    """Z-order on a bucketed table: files keep single-bucket tags AND the
+    clustering rewrite preserves table contents; merge routing still works."""
+    before = sorted(
+        (r.url, str(r.warc_ts)) for r in bucketed.scan().select("url", "warc_ts").collect()
+    )
+    snap = zorder_by(bucketed, target_file_bytes=1 << 18)
+    assert snap is not None
+    files = bucketed.live_files()
+    assert all(bucket_of_file(f) is not None for f in files)
+    after = sorted(
+        (r.url, str(r.warc_ts)) for r in bucketed.scan().select("url", "warc_ts").collect()
+    )
+    assert after == before
+
+    # a MID-RANGE url: global min/max pruning can't isolate it (every
+    # bucket file spans nearly the full url range), so any discovery cut
+    # must come from the bucket tags
+    mid = sorted(r.url for r in bucketed.scan().select("url").collect())[300]
+    one = (
+        bucketed.scan().filter(F.col("url") == mid).limit(1)
+        .withColumn("lang", F.lit("xx"))
+    )
+    merge_into(bucketed, one, "url")
+    s = bucketed.current_snapshot().summary
+    assert s["merge_candidates_scanned"] < s["merge_candidates_global"]
+
+
+def test_compaction_never_mixes_buckets(spark, tmp_path):
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "pages"),
+        generate_pages(spark, 200, seed=43, partitions=2),
+        properties=BUCKET_PROPS,
+    )
+    # several small appends -> many small single-bucket files
+    for seed in (44, 45, 46):
+        tbl.append(generate_pages(spark, 100, seed=seed, partitions=1))
+    bins = plan_compaction(tbl, target_file_bytes=1 << 30, min_bin_files=2)
+    assert bins, "small files should be compactable"
+    for b in bins:
+        assert len({bucket_of_file(f) for f in b.files}) == 1
+    before = tbl.scan().count()
+    snap = compact(tbl, target_file_bytes=1 << 30)
+    assert snap is not None
+    assert tbl.scan().count() == before
+    assert all(bucket_of_file(f) is not None for f in tbl.live_files())
+
+
+def test_bucketed_merge_result_equals_unbucketed(spark, tmp_path):
+    """Bucketing is a pure layout optimization: merge results must be
+    value-identical to the unbucketed table's."""
+    base = generate_pages(spark, 400, seed=47, partitions=2)
+    delta = dedup_latest(
+        generate_recrawl_delta(spark, 400, n_new=30, n_recrawl=60, seed=47),
+        ["url"], "warc_ts",
+    )
+    plain = IcehouseTable.create(spark, str(tmp_path / "plain"), base)
+    buck = IcehouseTable.create(
+        spark, str(tmp_path / "buck"), base, properties=BUCKET_PROPS
+    )
+    r1 = merge_into(plain, delta, "url")
+    r2 = merge_into(buck, delta, "url")
+    assert (r1.rows_updated, r1.rows_inserted) == (r2.rows_updated, r2.rows_inserted)
+    key = lambda r: (r.url, str(r.warc_ts))  # noqa: E731
+    a = sorted(plain.scan().select("url", "warc_ts", "text", "lang").collect(), key=key)
+    b = sorted(buck.scan().select("url", "warc_ts", "text", "lang").collect(), key=key)
+    assert a == b

@@ -234,3 +234,83 @@ def test_sniff_media_type_on_synth_payloads(spark):
     )
     got = {r.k: r.media_type for r in binary_metadata(df, "payload").collect()}
     assert got == {"p": "image/png", "j": "image/jpeg", "g": "image/gif"}
+
+
+# ------------------------------------------------- k-dimensional curves
+
+def test_morton_k2_matches_2d_kernel():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.functions.zorder_kernel import (
+        morton_interleave, morton_interleave_k,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 31, 1000).astype(np.int64)
+    y = rng.integers(0, 1 << 31, 1000).astype(np.int64)
+    assert (morton_interleave(x, y) == morton_interleave_k([x, y], 31)).all()
+
+
+def test_morton_k3_matches_scalar_reference():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.functions.zorder_kernel import (
+        morton_interleave_k,
+    )
+
+    def slow(a, b, c, bits):
+        out = 0
+        for i in range(bits):
+            out |= (
+                ((a >> i) & 1) << (3 * i)
+                | ((b >> i) & 1) << (3 * i + 1)
+                | ((c >> i) & 1) << (3 * i + 2)
+            )
+        return out
+
+    rng = np.random.default_rng(11)
+    a, b, c = (rng.integers(0, 1 << 21, 400) for _ in range(3))
+    got = morton_interleave_k([a, b, c], 21)
+    exp = np.array(
+        [slow(int(i), int(j), int(k), 21) for i, j, k in zip(a, b, c)],
+        dtype=np.uint64,
+    )
+    assert (got == exp).all()
+
+
+def test_hilbert_k_vectorized_matches_scalar():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.functions.zorder_kernel import (
+        hilbert_index_k, hilbert_index_k_slow,
+    )
+
+    rng = np.random.default_rng(13)
+    for n, bits in ((2, 8), (3, 5), (4, 4)):
+        pts = [rng.integers(0, 1 << bits, 300) for _ in range(n)]
+        got = hilbert_index_k(pts, bits)
+        exp = np.array(
+            [hilbert_index_k_slow([int(p[i]) for p in pts], bits)
+             for i in range(300)],
+            dtype=np.uint64,
+        )
+        assert (got == exp).all(), (n, bits)
+
+
+def test_hilbert_3d_is_a_true_hilbert_curve():
+    """Defining properties on the full 8x8x8 grid: the index is a bijection
+    and consecutive indexes are exactly one unit step apart."""
+    from ecommerce_lakehouse_spark.functions.zorder_kernel import (
+        hilbert_index_k_slow, hilbert_transpose_to_axes,
+    )
+
+    n, bits = 3, 3
+    seen, prev = set(), None
+    for h in range(1 << (n * bits)):
+        ax = tuple(hilbert_transpose_to_axes(h, n, bits))
+        assert ax not in seen
+        seen.add(ax)
+        if prev is not None:
+            assert sum(abs(a - b) for a, b in zip(ax, prev)) == 1
+        prev = ax
+        assert hilbert_index_k_slow(list(ax), bits) == h

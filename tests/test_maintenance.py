@@ -401,3 +401,45 @@ def test_zorder_falls_back_to_data_bounds_without_stats(spark, tmp_path, monkeyp
     snap = z.zorder_by(tbl, target_file_bytes=1 << 20)
     assert snap is not None and snap.operation.startswith("cluster-")
     assert sorted(r.url for r in tbl.scan().select("url").collect()) == before
+
+
+def test_zorder_third_dimension_prunes(spark, tmp_path):
+    """k-dim clustering (VERDICT r02 #7): adding lang as a 3rd Z-order axis
+    must make lang-equality predicates prune files via manifest stats, while
+    table contents stay identical."""
+    from ecommerce_lakehouse_spark.table import Predicate
+
+    df = generate_pages(spark, 2000, seed=93, partitions=4)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "pages"), df)
+    before = sorted(r.url for r in tbl.scan().select("url").collect())
+
+    total = sum(f.size_bytes for f in tbl.live_files())
+    snap = zorder_by(
+        tbl, curve="morton", extra_cols=["lang"],
+        target_file_bytes=max(1, total // 12),
+    )
+    assert snap is not None
+    files = tbl.live_files()
+    assert len(files) >= 8
+    # the rarest present language must be readable from a strict file subset
+    rare = (
+        tbl.scan().groupBy("lang").count()
+        .orderBy("count", "lang").first()["lang"]
+    )
+    kept = tbl.planned_files([Predicate("lang", "=", rare)])
+    assert 0 < len(kept) < len(files), (rare, len(kept), len(files))
+    # correctness: clustering only relocates rows
+    assert sorted(r.url for r in tbl.scan().select("url").collect()) == before
+    got = {r.lang for r in tbl.scan([Predicate("lang", "=", rare)]).select("lang").collect()}
+    assert got == {rare}
+
+
+def test_zorder_hilbert_k3_roundtrip(spark, tmp_path):
+    """3-D Hilbert clustering commits and preserves contents."""
+    df = generate_pages(spark, 800, seed=95, partitions=2)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "pages"), df)
+    n = tbl.scan().count()
+    snap = zorder_by(tbl, curve="hilbert", extra_cols=["lang"],
+                     target_file_bytes=1 << 18)
+    assert snap is not None and snap.operation == "cluster-hilbert"
+    assert tbl.scan().count() == n
