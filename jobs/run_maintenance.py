@@ -36,11 +36,19 @@ def main() -> None:
     ap.add_argument("--keep-snapshots", type=int, default=2)
     ap.add_argument("--skip-compact", action="store_true")
     ap.add_argument("--skip-expire", action="store_true")
+    ap.add_argument(
+        "--loop-cycles", type=int, default=0,
+        help="run the snapshot-listener maintenance loop for N poll cycles "
+        "instead of the one-shot pipeline (0 = one-shot). Each cycle drains "
+        "the pending backlog availableNow-style; crash-resume via ledger.",
+    )
+    ap.add_argument("--loop-poll-sec", type=float, default=2.0)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from ecommerce_lakehouse_spark.maintenance import (
+        MaintenanceLoop,
         compact,
         expire_snapshots,
         rewrite_manifests,
@@ -54,6 +62,18 @@ def main() -> None:
     tbl = IcehouseTable(spark, args.table)
     target = args.target_file_mb * 1024 * 1024
     metrics: dict = {"table": args.table}
+
+    if args.loop_cycles > 0:
+        loop = MaintenanceLoop(
+            tbl, target_file_bytes=target,
+            cluster=args.curve != "none", curve=args.curve,
+        )
+        metrics["loop"] = loop.run(
+            max_cycles=args.loop_cycles, poll_interval_s=args.loop_poll_sec
+        )
+        print(json.dumps(metrics))
+        spark.stop()
+        return
 
     if args.merge_delta:
         t0 = time.time()
