@@ -216,11 +216,36 @@ def _prep_key_stats(source: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+# file-backed sources: on-disk parquet bytes × this factor approximates the
+# in-memory broadcast size (snappy parquet typically inflates 2-4×; erring
+# high only refuses a borderline broadcast, never OOMs one)
+PARQUET_INFLATION = 4
+
+
 def _estimate_src_bytes(source: DataFrame, n_rows: int) -> int:
-    """Broadcast-size estimate: fixed per-field widths + avg variable-column
-    widths measured over a limit()-bounded sample (LocalLimit short-circuits
-    the scan, so the cost is O(WIDTH_SAMPLE_ROWS) regardless of source size).
-    """
+    """Broadcast-size estimate with ZERO payload read on the common path:
+    file-backed sources are sized from their parquet file sizes (footer-level
+    metadata, ``DataFrame.inputFiles``); only in-memory/derived sources fall
+    back to a limit()-bounded width sample."""
+    try:
+        paths = source.inputFiles()
+    except Exception:
+        paths = []
+    if paths:
+        total = 0
+        for p in paths:
+            if p.startswith("file:"):
+                p = p[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                total = 0
+                break
+        if total > 0:
+            # conservative: filters on the source make this an upper bound
+            return total * PARQUET_INFLATION
     var_cols = [
         f.name for f in source.schema.fields
         if f.dataType.typeName() in ("string", "binary")
