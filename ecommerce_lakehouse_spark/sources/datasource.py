@@ -166,7 +166,11 @@ class IcehouseWriter(DataSourceArrowWriter):
     """Each task stages ONE parquet file into the table's data dir and ships
     its footer stats in the commit message; the driver-side commit() turns
     the messages into a single atomic Icehouse snapshot (append, or
-    overwrite for mode("overwrite")). A failed job leaves only staged files,
+    overwrite for mode("overwrite")). On BUCKETED tables, DSv2-written
+    files carry no bucket tag (the writer can't re-partition its input),
+    which is CORRECT — untagged files are always kept by merge discovery —
+    just unpruned; prefer ``IcehouseTable.append`` for bucketed tables so
+    tags (and discovery pruning) stay intact. A failed job leaves only staged files,
     which the orphan sweep ages out — the table never sees partial writes."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):

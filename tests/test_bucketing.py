@@ -141,3 +141,32 @@ def test_bucketed_merge_result_equals_unbucketed(spark, tmp_path):
     a = sorted(plain.scan().select("url", "warc_ts", "text", "lang").collect(), key=key)
     b = sorted(buck.scan().select("url", "warc_ts", "text", "lang").collect(), key=key)
     assert a == b
+
+
+def test_dsv2_write_onto_bucketed_table_stays_correct(spark, tmp_path):
+    """DSv2-written files carry no bucket tag; merge must still find their
+    rows (untagged files are always kept by routing) — layout degrades
+    gracefully, correctness never does."""
+    from ecommerce_lakehouse_spark.sources.datasource import register
+
+    register(spark)
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "pages"),
+        generate_pages(spark, 200, seed=51, partitions=2),
+        properties=BUCKET_PROPS,
+    )
+    extra = generate_pages(spark, 60, seed=52, partitions=1).withColumn(
+        "url", F.concat(F.lit("zzz://dsv2/"), F.col("url"))
+    )
+    extra.write.format("icehouse").mode("append").save(str(tmp_path / "pages"))
+    assert tbl.scan().count() == 260
+    tagged = [f for f in tbl.live_files() if bucket_of_file(f) is not None]
+    untagged = [f for f in tbl.live_files() if bucket_of_file(f) is None]
+    assert tagged and untagged
+
+    # merge touching ONLY dsv2-written keys must update them
+    victim = tbl.scan().filter(F.col("url").startswith("zzz://dsv2/")).limit(3)
+    src = dedup_latest(victim.withColumn("lang", F.lit("qq")), ["url"], "warc_ts")
+    res = merge_into(tbl, src, "url")
+    assert res.rows_updated == 3
+    assert tbl.scan().filter(F.col("lang") == "qq").count() == 3
