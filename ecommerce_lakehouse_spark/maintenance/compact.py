@@ -101,9 +101,10 @@ def _rewrite_bin(
     """Read one bin's files, rewrite as ceil(bytes/target) files, stage them."""
     spark = table.spark
     schema = table.schema()
-    paths = [os.path.join(table.path, f.path) for f in b.files]
     n_out = max(1, (b.bytes + target_file_bytes - 1) // target_file_bytes)
-    df = spark.read.schema(schema).parquet(*paths).coalesce(n_out)
+    # DV-applied read: compaction MATERIALIZES positional deletes (the
+    # replaced files' registry entries drop in the same commit)
+    df = table.read_files(b.files).coalesce(n_out)
     staging = os.path.join(table.path, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     moved = []

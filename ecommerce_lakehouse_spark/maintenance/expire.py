@@ -71,11 +71,23 @@ def expire_snapshots(
         return ExpireResult([], 0, 0, 0)
 
     # -- mark --------------------------------------------------------------
+    def _dv_refs(s: Snapshot) -> tuple[set[str], set[str]]:
+        """(registry rels, deletion-vector data rels) of one snapshot."""
+        if not s.delete_manifest:
+            return set(), set()
+        entries = table._read_delete_registry(s.delete_manifest)
+        return {s.delete_manifest}, {
+            dv for e in entries.values() for dv in e["dvs"]
+        }
+
     live_data: set[str] = set()
     live_manifests: set[str] = set()
     live_lists: set[str] = set()
     for s in retained:
         live_lists.add(s.manifest_list)
+        regs, dvs = _dv_refs(s)
+        live_manifests |= regs
+        live_data |= dvs  # DV sidecars live in data/; sweep like data files
         for rel in table.manifests_of(s):
             live_manifests.add(rel)
             for f in table._read_manifest(rel):
@@ -87,6 +99,9 @@ def expire_snapshots(
     for s in expired:
         if s.manifest_list not in live_lists:
             dead_lists.add(s.manifest_list)
+        regs, dvs = _dv_refs(s)
+        dead_manifests |= regs - live_manifests
+        dead_data |= dvs - live_data
         for rel in table.manifests_of(s):
             if rel in live_manifests:
                 continue

@@ -34,7 +34,6 @@ scan results are unchanged — clustering only relocates rows between files.
 from __future__ import annotations
 
 import datetime
-import os
 
 from pyspark.sql import functions as F
 
@@ -157,8 +156,8 @@ def zorder_by(
     # transient (recomputed per rewrite, never persisted), so each rewrite
     # may use the tightest bounds available — more interleave bits carry
     # information, and file min/max stats stay exact either way.
-    paths = [os.path.join(table.path, f.path) for f in files]
-    df = table.spark.read.schema(table.schema()).parquet(*paths)
+    # DV-applied read: clustering materializes positional deletes
+    df = table.read_files(files)
     try:
         lo_us, hi_us = _ts_bounds_from_stats(files, ts_col)
     except ValueError:

@@ -421,10 +421,11 @@ def merge_into(
             return MergeResult(None, 0, 0, 0, 0)
 
     # --- merge computation ---------------------------------------------------
+    # read through the DV-applied primitive: rows deleted by deletion
+    # vectors must not be resurrected by the rewrite (their registry entries
+    # drop in the same commit that replaces the files)
     if affected_files:
-        tgt = spark.read.schema(schema).parquet(
-            *[f"{table.path}/{f.path}" for f in affected_files]
-        )
+        tgt = table.read_files(affected_files, schema=schema)
     else:
         tgt = spark.createDataFrame([], schema)
 

@@ -131,9 +131,36 @@ def m_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def m_delete_vectors_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read positional deletes: DELETE WHERE via deletion vectors
+    (no file rewrite), then compaction MATERIALIZES the deletes. Returns the
+    post-compaction scan — deterministic: victims are a fixed url slice."""
+    from .datagen import generate_pages
+    from .maintenance import compact
+    from .table import IcehouseTable, Predicate, delete_where
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", generate_pages(spark, 1500, seed=9, partitions=3)
+        )
+        victims = tuple(sorted(
+            r.url for r in tbl.scan().select("url").distinct().collect()
+        )[::97][:12])
+        snap = delete_where(tbl, [Predicate("url", "in", victims)])
+        assert snap is not None and snap.summary["deleted_rows"] >= 12
+        assert tbl.current_snapshot().delete_manifest is not None
+        compact(tbl, target_file_bytes=1 << 30)
+        assert tbl.current_snapshot().delete_manifest is None
+        return _pages_out(tbl.scan()).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, None),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, None),
     "m_scd2_history_pages": (m_scd2_history_pages, None),
     "m_snapshot_expire": (m_snapshot_expire, None),
+    "m_delete_vectors_pages": (m_delete_vectors_pages, None),
 }

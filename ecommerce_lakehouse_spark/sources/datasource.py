@@ -70,7 +70,7 @@ def _filter_to_predicate(f: Filter) -> Predicate | None:
     if isinstance(f, LessThanOrEqual):
         return Predicate(col, "<=", f.value)
     if isinstance(f, In):
-        return Predicate(col, "in", tuple(f.values))
+        return Predicate(col, "in", tuple(f.value))
     if isinstance(f, IsNull):
         return Predicate(col, "is_null", None)
     if isinstance(f, IsNotNull):
@@ -79,8 +79,11 @@ def _filter_to_predicate(f: Filter) -> Predicate | None:
 
 
 class IcehouseFilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, dv_paths: list[str] | None = None):
         self.path = path
+        # deletion-vector sidecars covering this file (merge-on-read):
+        # absolute parquet paths of (fname, pos) rows
+        self.dv_paths = dv_paths or []
 
 
 class IcehouseReader(DataSourceReader):
@@ -114,20 +117,29 @@ class IcehouseReader(DataSourceReader):
 
         spark = SparkSession.getActiveSession()
         table = IcehouseTable(spark, self._path)
+        snap = table._resolve_snapshot(self._snapshot_id)
         files = table.planned_files(
             self._predicates or None, snapshot_id=self._snapshot_id
         )
+        reg = table.delete_registry(snap)
         import os
 
         return [
-            IcehouseFilePartition(os.path.join(table.path, f.path))
+            IcehouseFilePartition(
+                os.path.join(table.path, f.path),
+                [os.path.join(table.path, dv)
+                 for dv in (reg.get(f.path) or {}).get("dvs", [])],
+            )
             for f in files
         ]
 
     # -- execution (executor side, Arrow-batched) ---------------------------
 
     def read(self, partition: IcehouseFilePartition):
+        import os
+
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -138,6 +150,18 @@ class IcehouseReader(DataSourceReader):
                 pq.read_schema(partition.path).names
             )],
         )
+        if getattr(partition, "dv_paths", None):
+            # merge-on-read: drop this file's deleted row positions
+            fname = os.path.basename(partition.path)
+            dv = pq.read_table(partition.dv_paths, columns=["fname", "pos"])
+            dv = dv.filter(pc.equal(dv.column("fname"), fname))
+            dead = set(dv.column("pos").to_pylist())
+            if dead:
+                keep = pa.array(
+                    [i not in dead for i in range(tbl.num_rows)],
+                    type=pa.bool_(),
+                )
+                tbl = tbl.filter(keep)
         n = tbl.num_rows
         cols = []
         for field in want:

@@ -110,6 +110,10 @@ class Snapshot:
     operation: str  # append | replace | overwrite | delete | expire
     manifest_list: str
     summary: dict = field(default_factory=dict)
+    # merge-on-read positional deletes: path of this snapshot's delete
+    # registry (manifests/deletes-*.json), None when the snapshot has none.
+    # Optional field — snapshots from before the feature deserialize fine.
+    delete_manifest: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -119,6 +123,7 @@ class Snapshot:
             "operation": self.operation,
             "manifest_list": self.manifest_list,
             "summary": self.summary,
+            "delete_manifest": self.delete_manifest,
         }
 
     @staticmethod
@@ -126,6 +131,7 @@ class Snapshot:
         return Snapshot(
             d["snapshot_id"], d.get("parent_id"), d["timestamp_ms"],
             d["operation"], d["manifest_list"], d.get("summary", {}),
+            d.get("delete_manifest"),
         )
 
 
@@ -269,6 +275,86 @@ class IcehouseTable:
             files.extend(self._read_manifest(rel))
         return files
 
+    # ------------------------------------------------- positional deletes
+
+    def delete_registry(self, snapshot: Snapshot | None = None) -> dict:
+        """{data_file_rel: {"dvs": [dv_rel, ...], "rows": n}} for a snapshot
+        (merge-on-read positional deletes); {} when the snapshot has none."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None or not snap.delete_manifest:
+            return {}
+        return self._read_delete_registry(snap.delete_manifest)
+
+    def _read_delete_registry(self, rel: str) -> dict:
+        with open(os.path.join(self.path, rel)) as f:
+            return json.load(f)["entries"]
+
+    def _write_delete_registry(self, entries: dict) -> str | None:
+        if not entries:
+            return None
+        rel = f"manifests/deletes-{uuid.uuid4().hex}.json"
+        full = os.path.join(self.path, rel)
+        with open(full + ".tmp", "w") as f:
+            json.dump({"entries": entries}, f)
+        os.rename(full + ".tmp", full)
+        return rel
+
+    def read_files(
+        self,
+        files: list[DataFile],
+        snapshot: Snapshot | None = None,
+        with_pos: bool = False,
+        schema: StructType | None = None,
+    ) -> DataFrame:
+        """Read the given data files with the snapshot's DELETION VECTORS
+        applied (merge-on-read): rows whose (file, row_index) appear in a DV
+        are anti-joined away. This is the one read primitive every rewrite
+        (MERGE, compaction, clustering) and scan goes through, so deleted
+        rows can never be resurrected by a rewrite.
+
+        ``with_pos=True`` keeps the ``__fname``/``__pos`` provenance columns
+        (used by delete_where itself). The DV side is counted-broadcast:
+        registry row counts decide broadcast vs shuffle anti-join.
+        """
+        from pyspark.sql import functions as F
+
+        if schema is None:
+            schema = self.schema()
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+            if with_pos:
+                df = df.withColumn(
+                    "__fname", F.lit(None).cast("string")
+                ).withColumn("__pos", F.lit(None).cast("long"))
+            return df
+        paths = [os.path.join(self.path, f.path) for f in files]
+        reg = self.delete_registry(snapshot)
+        wanted = {f.path for f in files}
+        dv_rels = sorted({
+            dv for rel, e in reg.items() if rel in wanted for dv in e["dvs"]
+        })
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if dv_rels or with_pos:
+            df = df.withColumn(
+                "__fname",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+        if dv_rels:
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.path, r) for r in dv_rels]
+            ).select("fname", "pos")
+            n_dv_rows = sum(
+                e["rows"] for rel, e in reg.items()
+                if set(e["dvs"]) & set(dv_rels)
+            )
+            if n_dv_rows <= 1_000_000:
+                dv = F.broadcast(dv)
+            cond = (df["__fname"] == dv["fname"]) & (df["__pos"] == dv["pos"])
+            df = df.join(dv, cond, "left_anti")
+        if (dv_rels or with_pos) and not with_pos:
+            df = df.drop("__fname", "__pos")
+        return df
+
     # ----------------------------------------------------------------- write
 
     def bucket_spec(self) -> tuple[str, int] | None:
@@ -396,6 +482,8 @@ class IcehouseTable:
         finally:
             os.unlink(tmp)
 
+    _INHERIT_DELETES = "__inherit__"
+
     def _commit(
         self,
         operation: str,
@@ -406,6 +494,7 @@ class IcehouseTable:
         max_retries: int = 10,
         extra_summary: dict | None = None,
         txn: tuple[str, int] | None = None,
+        delete_manifest: str | None = _INHERIT_DELETES,
     ) -> Snapshot | None:
         """Optimistic commit with rebase-and-retry.
 
@@ -486,6 +575,29 @@ class IcehouseTable:
                 rel = self._write_manifest(added, fmt=fmt)
                 new_entries.append(self._manifest_entry(rel, added))
 
+            # merge-on-read deletes: a commit either carries an explicit
+            # delete registry (delete_where) or inherits the parent's MINUS
+            # entries for files removed by this commit — a rewrite reads
+            # through read_files (DVs applied), so dropping the entries is
+            # what MATERIALIZES the deletes rather than resurrecting rows.
+            if delete_manifest != self._INHERIT_DELETES:
+                child_dm = delete_manifest
+            else:
+                child_dm = None
+                parent_dm = (
+                    snap.get("delete_manifest") if version > 0 and snap else None
+                )
+                if parent_dm:
+                    entries = self._read_delete_registry(parent_dm)
+                    kept_e = {
+                        k: v for k, v in entries.items()
+                        if k not in removed_paths
+                    }
+                    if len(kept_e) == len(entries):
+                        child_dm = parent_dm  # unchanged: reuse the file
+                    else:
+                        child_dm = self._write_delete_registry(kept_e)
+
             snapshot_id = version + 1
             manifest_list_rel = self._write_manifest_list(new_entries)
             summary = {
@@ -506,6 +618,7 @@ class IcehouseTable:
                 operation=operation,
                 manifest_list=manifest_list_rel,
                 summary=summary,
+                delete_manifest=child_dm,
             )
             md["snapshots"] = md.get("snapshots", []) + [snap_obj.to_json()]
             md["current_snapshot_id"] = snapshot_id
@@ -676,8 +789,7 @@ class IcehouseTable:
         schema = self.schema()
         if not kept:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f.path) for f in kept]
-        df = self.spark.read.schema(schema).parquet(*paths)
+        df = self.read_files(kept, snapshot=snap)
         if predicates and apply_residual:
             for p in predicates:
                 df = df.filter(p.to_column())

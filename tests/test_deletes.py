@@ -1,0 +1,148 @@
+"""Merge-on-read positional deletes (deletion vectors): DELETE WHERE marks
+positions instead of rewriting files; scans/DSv2 apply DVs; rewrites
+(merge/compact/zorder) materialize them; expiry sweeps dead sidecars."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_spark.datagen import generate_pages
+from ecommerce_lakehouse_spark.maintenance import compact, expire_snapshots, zorder_by
+from ecommerce_lakehouse_spark.operators.merge import dedup_latest, merge_into
+from ecommerce_lakehouse_spark.table import (
+    IcehouseTable,
+    Predicate,
+    delete_where,
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    return IcehouseTable.create(
+        spark, str(tmp_path / "pages"),
+        generate_pages(spark, 500, seed=61, partitions=4),
+    )
+
+
+def test_delete_where_hides_rows_without_rewriting_files(spark, tbl):
+    files_before = {f.path for f in tbl.live_files()}
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(7).collect()]
+
+    snap = delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+    assert snap is not None and snap.operation == "delete-rows"
+    assert snap.summary["deleted_rows"] == 7
+    # merge-on-read: NO data file was rewritten
+    assert {f.path for f in tbl.live_files()} == files_before
+    assert tbl.scan().count() == 493
+    assert tbl.scan().filter(F.col("url").isin(victims)).count() == 0
+    # predicate-pruned scans agree
+    assert tbl.scan([Predicate("url", "=", victims[0])]).count() == 0
+
+
+def test_delete_where_is_idempotent_and_time_travel_sees_old_rows(spark, tbl):
+    pre = tbl.current_snapshot().snapshot_id
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(3).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+    # re-delete: already-deleted rows are invisible -> no-op, no commit
+    assert delete_where(tbl, [Predicate("url", "in", tuple(victims))]) is None
+    assert tbl.scan().count() == 497
+    # time travel: the pre-delete snapshot still sees all rows
+    assert tbl.scan(snapshot_id=pre).count() == 500
+
+
+def test_deletes_stack_across_commits(spark, tbl):
+    urls = [r.url for r in tbl.scan().select("url").orderBy("url").limit(10).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(urls[:4]))])
+    delete_where(tbl, [Predicate("url", "in", tuple(urls[4:]))])
+    assert tbl.scan().count() == 490
+    assert tbl.scan().filter(F.col("url").isin(urls)).count() == 0
+
+
+def test_merge_does_not_resurrect_deleted_rows(spark, tbl):
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(5).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+    # merge an unrelated delta that touches the same files
+    others = tbl.scan().orderBy(F.col("url").desc()).limit(5)
+    src = dedup_latest(others.withColumn("lang", F.lit("vv")), ["url"], "warc_ts")
+    merge_into(tbl, src, "url")
+    assert tbl.scan().filter(F.col("url").isin(victims)).count() == 0
+    assert tbl.scan().filter(F.col("lang") == "vv").count() == 5
+    assert tbl.scan().count() == 495
+
+
+def test_merge_insert_after_delete_revives_key_as_new_row(spark, tbl):
+    """MERGE semantics on a deleted key: not matched -> INSERT (the deleted
+    row stays dead; the new row is the source's)."""
+    victim = tbl.scan().select("url").orderBy("url").limit(1).collect()[0].url
+    old_row = tbl.scan().filter(F.col("url") == victim)
+    src = old_row.withColumn("lang", F.lit("nw"))
+    src_cached = src.collect()
+    delete_where(tbl, [Predicate("url", "=", victim)])
+    assert tbl.scan().filter(F.col("url") == victim).count() == 0
+    res = merge_into(tbl, spark.createDataFrame(src_cached, src.schema), "url")
+    assert res.rows_inserted == 1 and res.rows_updated == 0
+    got = tbl.scan().filter(F.col("url") == victim).collect()
+    assert len(got) == 1 and got[0].lang == "nw"
+
+
+def test_compaction_materializes_deletes(spark, tmp_path):
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "pages"),
+        generate_pages(spark, 200, seed=63, partitions=1),
+    )
+    for s in (64, 65):
+        tbl.append(generate_pages(spark, 100, seed=s, partitions=1))
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(9).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+    assert tbl.current_snapshot().delete_manifest is not None
+
+    snap = compact(tbl, target_file_bytes=1 << 30)
+    assert snap is not None
+    # all DV'd files were rewritten -> registry entries dropped
+    assert tbl.current_snapshot().delete_manifest is None
+    assert tbl.scan().count() == 391
+    assert tbl.scan().filter(F.col("url").isin(victims)).count() == 0
+
+
+def test_zorder_materializes_deletes(spark, tbl):
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(6).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+    zorder_by(tbl, target_file_bytes=1 << 18)
+    assert tbl.current_snapshot().delete_manifest is None
+    assert tbl.scan().count() == 494
+    assert tbl.scan().filter(F.col("url").isin(victims)).count() == 0
+
+
+def test_dsv2_reader_applies_deletion_vectors(spark, tbl):
+    from ecommerce_lakehouse_spark.sources.datasource import register
+
+    register(spark)
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(8).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+    df = spark.read.format("icehouse").load(tbl.path)
+    assert df.count() == 492
+    assert df.filter(F.col("url").isin(victims)).count() == 0
+
+
+def test_expire_sweeps_dead_deletion_vectors(spark, tbl):
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(5).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+    dv_files = [f for f in os.listdir(os.path.join(tbl.path, "data"))
+                if f.startswith("dv-")]
+    assert dv_files
+    # retained snapshot still references the DVs -> expiry must keep them
+    expire_snapshots(tbl, keep_last=1)
+    assert [f for f in os.listdir(os.path.join(tbl.path, "data"))
+            if f.startswith("dv-")] == dv_files
+    assert tbl.scan().count() == 495
+
+    # compaction materializes deletes; expiring pre-compaction snapshots
+    # leaves the DVs unreferenced -> swept
+    compact(tbl, target_file_bytes=1 << 30)
+    expire_snapshots(tbl, keep_last=1)
+    assert not [f for f in os.listdir(os.path.join(tbl.path, "data"))
+                if f.startswith("dv-")]
+    assert tbl.scan().count() == 495
