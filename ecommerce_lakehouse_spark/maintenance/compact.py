@@ -97,14 +97,16 @@ def _rewrite_bin(
     b: CompactionBin,
     target_file_bytes: int,
     stats_cols: list[str] | None,
+    base_snap: "Snapshot | None" = None,
 ) -> list[DataFile]:
     """Read one bin's files, rewrite as ceil(bytes/target) files, stage them."""
     spark = table.spark
     schema = table.schema()
     n_out = max(1, (b.bytes + target_file_bytes - 1) // target_file_bytes)
-    # DV-applied read: compaction MATERIALIZES positional deletes (the
-    # replaced files' registry entries drop in the same commit)
-    df = table.read_files(b.files).coalesce(n_out)
+    # DV-applied read pinned to the planning snapshot: compaction
+    # MATERIALIZES positional deletes (the replaced files' registry entries
+    # drop in the same commit; the commit aborts if NEWER deletes landed)
+    df = table.read_files(b.files, snapshot=base_snap).coalesce(n_out)
     staging = os.path.join(table.path, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     moved = []
@@ -164,7 +166,7 @@ def compact(
         done = ledger.outputs_of(b.bin_id)
         if done is not None:  # resume: adopt previously staged outputs
             return b, done
-        outputs = _rewrite_bin(table, b, target_file_bytes, stats_cols)
+        outputs = _rewrite_bin(table, b, target_file_bytes, stats_cols, snap)
         ledger.complete(
             b.bin_id,
             [f.path for f in b.files],
@@ -189,6 +191,7 @@ def compact(
         None,
         operation="compact",
         precomputed_added=added,
+        base_delete_registry=table.delete_registry(snap),
         extra_summary={
             "compacted_bins": len(bins),
             "compacted_input_files": len(removed),

@@ -146,6 +146,7 @@ def zorder_by(
     else:
         kernel = morton_k_udf if curve == "morton" else hilbert_k_udf
 
+    base_snap = table.current_snapshot()
     files = _scoped_files(table, scope, predicates)
     if not files:
         return None
@@ -156,8 +157,9 @@ def zorder_by(
     # transient (recomputed per rewrite, never persisted), so each rewrite
     # may use the tightest bounds available — more interleave bits carry
     # information, and file min/max stats stay exact either way.
-    # DV-applied read: clustering materializes positional deletes
-    df = table.read_files(files)
+    # DV-applied read pinned to the planning snapshot: clustering
+    # materializes positional deletes (commit aborts on newer ones)
+    df = table.read_files(files, snapshot=base_snap)
     try:
         lo_us, hi_us = _ts_bounds_from_stats(files, ts_col)
     except ValueError:
@@ -252,6 +254,7 @@ def zorder_by(
         operation=f"cluster-{curve}",
         target_partitions=n_out,
         cluster_by=["__zcode"],
+        base_delete_registry=table.delete_registry(base_snap),
         extra_summary={
             "cluster_curve": curve,
             "cluster_scope": scope,

@@ -326,6 +326,10 @@ def merge_into(
     """
     spark = table.spark
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # pin the snapshot the rewrite reads through: the commit validates that
+    # no delete vectors landed on the rewritten files after this point
+    base_snap = table.current_snapshot()
+    base_registry = table.delete_registry(base_snap)
     schema = table.schema()
     widened = None
     if not delete_matched:
@@ -364,7 +368,7 @@ def merge_into(
             f"merge key(s) {keys}; null keys are unsupported — filter or "
             f"coalesce them before merging"
         )
-    candidates = _prune_candidates(table.live_files(), prep, keys)
+    candidates = _prune_candidates(table.live_files(base_snap), prep, keys)
     n_global_candidates = len(candidates)
     bucket_spec = table.bucket_spec()
     if candidates and bucket_spec is not None and keys == [bucket_spec[0]]:
@@ -425,7 +429,7 @@ def merge_into(
     # vectors must not be resurrected by the rewrite (their registry entries
     # drop in the same commit that replaces the files)
     if affected_files:
-        tgt = table.read_files(affected_files, schema=schema)
+        tgt = table.read_files(affected_files, snapshot=base_snap, schema=schema)
     else:
         tgt = spark.createDataFrame([], schema)
 
@@ -527,6 +531,7 @@ def merge_into(
         None,
         operation="merge",
         precomputed_added=added,
+        base_delete_registry=base_registry,
         schema_json=widened.jsonValue() if widened is not None else None,
         extra_summary={
             "merge_updated": n_upd,

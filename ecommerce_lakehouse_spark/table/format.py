@@ -495,6 +495,7 @@ class IcehouseTable:
         extra_summary: dict | None = None,
         txn: tuple[str, int] | None = None,
         delete_manifest: str | None = _INHERIT_DELETES,
+        base_delete_registry: dict | None = None,
     ) -> Snapshot | None:
         """Optimistic commit with rebase-and-retry.
 
@@ -580,7 +581,35 @@ class IcehouseTable:
             # entries for files removed by this commit — a rewrite reads
             # through read_files (DVs applied), so dropping the entries is
             # what MATERIALIZES the deletes rather than resurrecting rows.
+            #
+            # Delete/rewrite RACE validation (Iceberg's
+            # validateNoNewDeletesForDataFiles, both directions):
+            # - a DELETE commit whose positions reference a data file that a
+            #   concurrent rewrite already replaced must ABORT — its DV
+            #   would point at a dead file and the deletion would be lost;
+            # - a REWRITE commit must abort if new delete entries landed on
+            #   its removed files AFTER it read them (base_delete_registry =
+            #   the registry snapshot the rewrite read through) — dropping
+            #   those entries would resurrect the newly-deleted rows.
             if delete_manifest != self._INHERIT_DELETES:
+                if delete_manifest is not None:
+                    live_now = {
+                        f.path
+                        for e in base_entries
+                        for f in self._read_manifest(e["path"])
+                    }
+                    stale = [
+                        rel for rel in
+                        self._read_delete_registry(delete_manifest)
+                        if rel not in live_now
+                    ]
+                    if stale:
+                        raise CommitConflict(
+                            f"{operation}: delete positions reference data "
+                            f"files replaced by a concurrent commit: "
+                            f"{sorted(stale)[:3]}... — re-run the delete "
+                            f"against the current snapshot"
+                        )
                 child_dm = delete_manifest
             else:
                 child_dm = None
@@ -589,6 +618,18 @@ class IcehouseTable:
                 )
                 if parent_dm:
                     entries = self._read_delete_registry(parent_dm)
+                    if base_delete_registry is not None:
+                        changed = [
+                            rel for rel in removed_paths
+                            if entries.get(rel) != base_delete_registry.get(rel)
+                        ]
+                        if changed:
+                            raise CommitConflict(
+                                f"{operation}: delete vectors landed on "
+                                f"rewritten files after this rewrite read "
+                                f"them: {sorted(changed)[:3]}... — dropping "
+                                f"their entries would resurrect deleted rows"
+                            )
                     kept_e = {
                         k: v for k, v in entries.items()
                         if k not in removed_paths
@@ -738,6 +779,7 @@ class IcehouseTable:
         precomputed_added: list[DataFile] | None = None,
         schema_json: dict | None = None,
         cluster_by: list[str] | None = None,
+        base_delete_registry: dict | None = None,
     ) -> Snapshot:
         """Copy-on-write primitive: atomically swap removed files for new data.
 
@@ -759,6 +801,7 @@ class IcehouseTable:
         return self._commit(
             operation, added, set(removed_paths), extra_summary=extra_summary,
             schema_json=schema_json,
+            base_delete_registry=base_delete_registry,
         )
 
     def overwrite(self, df: DataFrame, stats_cols: list[str] | None = None,

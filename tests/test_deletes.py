@@ -146,3 +146,59 @@ def test_expire_sweeps_dead_deletion_vectors(spark, tbl):
     assert not [f for f in os.listdir(os.path.join(tbl.path, "data"))
                 if f.startswith("dv-")]
     assert tbl.scan().count() == 495
+
+
+def test_delete_commit_conflicts_when_file_rewritten_concurrently(spark, tbl):
+    """Direction 1 (Iceberg validateNoNewDeletesForDataFiles): a DELETE whose
+    positions reference a data file that a concurrent rewrite replaced must
+    abort — committing it would silently lose the deletion."""
+    from ecommerce_lakehouse_spark.table.format import CommitConflict
+
+    # craft a registry referencing a file, then replace that file
+    victim_file = tbl.live_files()[0]
+    dm = tbl._write_delete_registry(
+        {victim_file.path: {"dvs": ["data/dv-ghost.parquet"], "rows": 1}}
+    )
+    # concurrent rewrite replaces the file (compact everything)
+    from ecommerce_lakehouse_spark.maintenance import compact
+
+    assert compact(tbl, target_file_bytes=1 << 30) is not None
+    assert victim_file.path not in {f.path for f in tbl.live_files()}
+
+    with pytest.raises(CommitConflict, match="concurrent"):
+        tbl._commit("delete-rows", [], set(), delete_manifest=dm)
+
+
+def test_rewrite_conflicts_when_delete_lands_mid_rewrite(spark, tbl):
+    """Direction 2: a rewrite that read its files BEFORE a delete landed must
+    abort at commit — dropping the newer registry entries would resurrect
+    the deleted rows."""
+    from ecommerce_lakehouse_spark.table.format import CommitConflict
+
+    files = tbl.live_files()
+    base_registry = tbl.delete_registry()  # what the rewrite read through
+    staged = tbl._stage_dataframe(
+        tbl.read_files(files), None, snapshot_id=tbl.current_version() + 1
+    )
+    # delete lands AFTER the rewrite read its input
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(2).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+
+    with pytest.raises(CommitConflict, match="resurrect"):
+        tbl.replace_files(
+            [f.path for f in files], None, operation="compact",
+            precomputed_added=staged, base_delete_registry=base_registry,
+        )
+    # and the safe retry: re-reading through the CURRENT registry succeeds
+    staged2 = tbl._stage_dataframe(
+        tbl.read_files(tbl.live_files()), None,
+        snapshot_id=tbl.current_version() + 1,
+    )
+    snap = tbl.replace_files(
+        [f.path for f in files], None, operation="compact",
+        precomputed_added=staged2,
+        base_delete_registry=tbl.delete_registry(),
+    )
+    assert snap is not None
+    assert tbl.scan().count() == 498
+    assert tbl.scan().filter(F.col("url").isin(victims)).count() == 0

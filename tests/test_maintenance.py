@@ -122,11 +122,11 @@ def test_compaction_ledger_resume(spark, fragmented_table, monkeypatch):
     calls = {"n": 0}
     real = C._rewrite_bin
 
-    def exploding(table, b, target, cols):
+    def exploding(table, b, target, cols, *a):
         calls["n"] += 1
         if calls["n"] == 3:
             raise RuntimeError("simulated crash")
-        return real(table, b, target, cols)
+        return real(table, b, target, cols, *a)
 
     monkeypatch.setattr(C, "_rewrite_bin", exploding)
     with pytest.raises(RuntimeError):
