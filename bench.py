@@ -174,6 +174,38 @@ def main() -> None:
         maint["point_merge_candidates_global"] = psum.get("merge_candidates_global")
         maint["point_merge_candidates_scanned"] = psum.get("merge_candidates_scanned")
 
+        # point DELETE, both strategies on the same clustered table:
+        # merge-on-read deletion vectors (KB-scale sidecar) vs copy-on-write
+        # MERGE ... WHEN MATCHED DELETE (file rewrite) — the GDPR-delete shape
+        from ecommerce_lakehouse_spark.table import Predicate as Pred
+        from ecommerce_lakehouse_spark.table import delete_where
+
+        all_urls = sorted(
+            r.url for r in tbl.scan().select("url").distinct().collect()
+        )
+        dv_victims = tuple(all_urls[1::971][:8])
+        cow_victims = all_urls[5::977][:8]
+        t0 = time.time()
+        dsnap = delete_where(tbl, [Pred("url", "in", dv_victims)])
+        maint["dv_point_delete_sec"] = round(time.time() - t0, 3)
+        maint["dv_point_delete_rows"] = dsnap.summary["deleted_rows"] if dsnap else 0
+        maint["dv_point_delete_bytes_written"] = sum(
+            os.path.getsize(f"{tbl.path}/{dv}")
+            for e in tbl.delete_registry().values() for dv in e["dvs"]
+        )
+        from pyspark.sql import functions as F
+
+        cow_src = (
+            tbl.scan().filter(F.col("url").isin(cow_victims))
+            .select("url").distinct()
+        )
+        t0 = time.time()
+        merge_into(tbl, cow_src, "url", delete_matched=True)
+        maint["cow_point_delete_sec"] = round(time.time() - t0, 3)
+        maint["cow_point_delete_bytes_rewritten"] = tbl.current_snapshot().summary[
+            "added_bytes"
+        ]
+
         t0 = time.time()
         rewrite_manifests(tbl)
         expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)
