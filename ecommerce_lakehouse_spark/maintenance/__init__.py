@@ -3,4 +3,5 @@ from .expire import ExpireResult, expire_snapshots  # noqa: F401
 from .ledger import JobLedger  # noqa: F401
 from .loop import MaintenanceLoop  # noqa: F401
 from .manifests import rewrite_manifests  # noqa: F401
+from .rewrite_deletes import rewrite_delete_vectors  # noqa: F401
 from .zorder import zorder_by  # noqa: F401

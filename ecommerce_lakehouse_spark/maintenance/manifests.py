@@ -58,6 +58,9 @@ def rewrite_manifests(
             timestamp_ms=int(time.time() * 1000),
             operation="rewrite-manifests",
             manifest_list=list_rel,
+            # data files are unchanged, so the deletion-vector registry
+            # carries over verbatim — dropping it would resurrect rows
+            delete_manifest=snap.get("delete_manifest"),
             summary={
                 "manifests_before": len(table.manifests_of(Snapshot.from_json(snap))),
                 "manifests_after": len(entries),

@@ -155,3 +155,43 @@ def test_write_merge_schema_option(spark, tmp_path):
     tbl = IcehouseTable(spark, path)
     assert tbl.scan().count() == 80
     assert tbl.scan().filter(F.col("fetch_status").isNull()).count() == 60
+
+
+def test_dsv2_prunes_on_extra_clustered_axis(spark, tmp_path):
+    """After k-dim clustering on (url, ts, lang), a lang-equality pushdown
+    filter must prune FILE partitions in the DSv2 reader (manifest stats on
+    every clustered axis), and results must match the native scan."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_lakehouse_spark.datagen import generate_pages
+    from ecommerce_lakehouse_spark.maintenance.zorder import zorder_by
+    from ecommerce_lakehouse_spark.sources.datasource import IcehouseReader, register
+    from ecommerce_lakehouse_spark.table import IcehouseTable
+
+    df = generate_pages(spark, 2000, seed=97, partitions=4)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "pages"), df)
+    total = sum(f.size_bytes for f in tbl.live_files())
+    zorder_by(tbl, curve="morton", extra_cols=["lang"],
+              target_file_bytes=max(1, total // 12))
+    rare = (
+        tbl.scan().groupBy("lang").count().orderBy("count", "lang").first()["lang"]
+    )
+
+    # planner-level: pushed lang filter cuts the partition list
+    reader = IcehouseReader({"path": tbl.path}, tbl.schema())
+    n_all = len(reader.partitions())
+    from pyspark.sql.datasource import EqualTo
+
+    reader2 = IcehouseReader({"path": tbl.path}, tbl.schema())
+    reader2.pushFilters([EqualTo(("lang",), rare)])
+    n_pruned = len(reader2.partitions())
+    assert 0 < n_pruned < n_all, (rare, n_pruned, n_all)
+
+    # end-to-end parity with the native scan
+    register(spark)
+    got = (
+        spark.read.format("icehouse").load(tbl.path)
+        .filter(F.col("lang") == rare).count()
+    )
+    want = tbl.scan().filter(F.col("lang") == rare).count()
+    assert got == want > 0

@@ -202,3 +202,54 @@ def test_rewrite_conflicts_when_delete_lands_mid_rewrite(spark, tbl):
     assert snap is not None
     assert tbl.scan().count() == 498
     assert tbl.scan().filter(F.col("url").isin(victims)).count() == 0
+
+
+def test_rewrite_manifests_carries_delete_registry(spark, tbl):
+    """Manifest consolidation changes no data files, so the DV registry must
+    survive it verbatim — dropping it would resurrect every deleted row."""
+    from ecommerce_lakehouse_spark.maintenance import rewrite_manifests
+
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(4).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+    assert tbl.scan().count() == 496
+
+    snap = rewrite_manifests(tbl)
+    assert snap.delete_manifest is not None
+    assert tbl.scan().count() == 496
+    assert tbl.scan().filter(F.col("url").isin(victims)).count() == 0
+
+
+def test_rewrite_delete_vectors_consolidates_sidecars(spark, tbl):
+    """Stacked point deletes accumulate sidecars; DV compaction merges them
+    into one deduplicated file, scans are unchanged, and expiry sweeps the
+    old sidecars once no retained snapshot references them."""
+    from ecommerce_lakehouse_spark.maintenance import (
+        expire_snapshots,
+        rewrite_delete_vectors,
+    )
+
+    urls = [r.url for r in tbl.scan().select("url").orderBy("url").limit(9).collect()]
+    for chunk in (urls[:3], urls[3:6], urls[5:9]):  # overlapping on purpose
+        delete_where(tbl, [Predicate("url", "in", tuple(chunk))])
+    reg = tbl.delete_registry()
+    n_dvs_before = len({dv for e in reg.values() for dv in e["dvs"]})
+    assert n_dvs_before >= 3
+    assert tbl.scan().count() == 491
+
+    snap = rewrite_delete_vectors(tbl)
+    assert snap is not None and snap.operation == "rewrite-deletes"
+    assert snap.summary["dv_files_after"] < n_dvs_before
+    assert snap.summary["dv_rows"] == 9  # deduplicated across overlaps
+    assert tbl.scan().count() == 491
+    assert tbl.scan().filter(F.col("url").isin(urls)).count() == 0
+
+    # old sidecars are unreferenced once pre-rewrite snapshots expire
+    expire_snapshots(tbl, keep_last=1)
+    live_dvs = {os.path.basename(dv) for e in tbl.delete_registry().values()
+                for dv in e["dvs"]}
+    on_disk = {f for f in os.listdir(os.path.join(tbl.path, "data"))
+               if f.startswith("dv-")}
+    assert on_disk == live_dvs
+
+    # nothing left to consolidate
+    assert rewrite_delete_vectors(tbl) is None
