@@ -128,6 +128,10 @@ def _rewrite_bin(
 
     bin_buckets = {bucket_of_file(f) for f in b.files}
     tag = bin_buckets.pop() if len(bin_buckets) == 1 else None
+    # outputs carry the upcoming commit's lineage: added_by orders them
+    # AFTER any equality delete they were read through (sequence semantics);
+    # the commit's eq-registry validation aborts if newer deletes raced in
+    next_snapshot = table.current_version() + 1
     out = []
     for c in collected:
         st = c["stats"]
@@ -139,6 +143,7 @@ def _rewrite_bin(
                 c["row_count"],
                 c["size_bytes"],
                 st,
+                added_by=next_snapshot,
             )
         )
     return out
@@ -191,7 +196,7 @@ def compact(
         None,
         operation="compact",
         precomputed_added=added,
-        base_delete_registry=table.delete_registry(snap),
+        base_delete_registry=table.delete_registry_full(snap),
         extra_summary={
             "compacted_bins": len(bins),
             "compacted_input_files": len(removed),

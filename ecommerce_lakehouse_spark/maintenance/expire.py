@@ -72,13 +72,15 @@ def expire_snapshots(
 
     # -- mark --------------------------------------------------------------
     def _dv_refs(s: Snapshot) -> tuple[set[str], set[str]]:
-        """(registry rels, deletion-vector data rels) of one snapshot."""
+        """(registry rels, delete sidecar rels — positional AND equality)
+        of one snapshot."""
         if not s.delete_manifest:
             return set(), set()
-        entries = table._read_delete_registry(s.delete_manifest)
-        return {s.delete_manifest}, {
-            dv for e in entries.values() for dv in e["dvs"]
-        }
+        full = table._read_delete_registry_full(s.delete_manifest)
+        sidecars = {
+            dv for e in full.get("entries", {}).values() for dv in e["dvs"]
+        } | {e["path"] for e in full.get("eq", [])}
+        return {s.delete_manifest}, sidecars
 
     live_data: set[str] = set()
     live_manifests: set[str] = set()

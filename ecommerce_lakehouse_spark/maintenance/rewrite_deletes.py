@@ -30,11 +30,28 @@ def rewrite_delete_vectors(
     snap = table.current_snapshot()
     if snap is None:
         return None
-    reg = table.delete_registry(snap)
+    full = table.delete_registry_full(snap)
+    reg = full["entries"]
+    # retire equality-delete entries that no live file can match anymore
+    # (every file with added_by <= seq has been rewritten since)
+    live = table.live_files(snap)
+    kept_eq = [
+        e for e in full["eq"]
+        if any((f.added_by or 0) <= e["seq"] for f in live)
+    ]
+    eq_retired = len(full["eq"]) - len(kept_eq)
     if not reg:
+        if eq_retired:
+            dm = table._write_delete_registry({}, kept_eq)
+            return table._commit(
+                "rewrite-deletes", [], set(),
+                extra_summary={"eq_entries_retired": eq_retired},
+                delete_manifest=dm,
+                base_delete_manifest=snap.delete_manifest,
+            )
         return None
     old_dvs = sorted({dv for e in reg.values() for dv in e["dvs"]})
-    if len(old_dvs) < min_dv_files:
+    if len(old_dvs) < min_dv_files and not eq_retired:
         return None
 
     positions = (
@@ -73,13 +90,15 @@ def rewrite_delete_vectors(
         for fname, n in per_file.items()
         if fname in by_name
     }
-    dm = table._write_delete_registry(entries)
+    dm = table._write_delete_registry(entries, kept_eq)
     return table._commit(
         "rewrite-deletes", [], set(),
         extra_summary={
             "dv_files_before": len(old_dvs),
             "dv_files_after": len(new_dvs),
             "dv_rows": sum(per_file.values()),
+            "eq_entries_retired": eq_retired,
         },
         delete_manifest=dm,
+        base_delete_manifest=snap.delete_manifest,
     )

@@ -254,7 +254,7 @@ def zorder_by(
         operation=f"cluster-{curve}",
         target_partitions=n_out,
         cluster_by=["__zcode"],
-        base_delete_registry=table.delete_registry(base_snap),
+        base_delete_registry=table.delete_registry_full(base_snap),
         extra_summary={
             "cluster_curve": curve,
             "cluster_scope": scope,

@@ -329,7 +329,7 @@ def merge_into(
     # pin the snapshot the rewrite reads through: the commit validates that
     # no delete vectors landed on the rewritten files after this point
     base_snap = table.current_snapshot()
-    base_registry = table.delete_registry(base_snap)
+    base_registry = table.delete_registry_full(base_snap)
     schema = table.schema()
     widened = None
     if not delete_matched:

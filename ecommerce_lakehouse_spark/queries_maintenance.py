@@ -132,27 +132,41 @@ def m_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m_delete_vectors_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read positional deletes: DELETE WHERE via deletion vectors
-    (no file rewrite), then compaction MATERIALIZES the deletes. Returns the
-    post-compaction scan — deterministic: victims are a fixed url slice."""
+    """The full merge-on-read delete stack, deterministically: positional
+    DELETE WHERE (deletion vectors, no file rewrite), compaction
+    MATERIALIZES those, then an EQUALITY delete (no position scan) followed
+    by a re-insert of one key proving added_by sequence semantics. Returns
+    the final scan — victims are fixed url slices."""
+    import pyspark.sql.functions as _F
+
     from .datagen import generate_pages
     from .maintenance import compact
-    from .table import IcehouseTable, Predicate, delete_where
+    from .table import IcehouseTable, Predicate, delete_by_key, delete_where
 
     d = _fresh_dir()
     try:
         tbl = IcehouseTable.create(
             spark, f"{d}/t", generate_pages(spark, 1500, seed=9, partitions=3)
         )
-        victims = tuple(sorted(
+        urls = sorted(
             r.url for r in tbl.scan().select("url").distinct().collect()
-        )[::97][:12])
+        )
+        victims = tuple(urls[::97][:12])
         snap = delete_where(tbl, [Predicate("url", "in", victims)])
         assert snap is not None and snap.summary["deleted_rows"] >= 12
         assert tbl.current_snapshot().delete_manifest is not None
         compact(tbl, target_file_bytes=1 << 30)
         assert tbl.current_snapshot().delete_manifest is None
-        return _pages_out(tbl.scan()).localCheckpoint()
+
+        eq_victims = [u for u in urls[3::101][:8] if u not in victims]
+        revived = eq_victims[0]
+        revived_rows = tbl.scan().filter(_F.col("url") == revived).collect()
+        delete_by_key(tbl, "url", eq_victims)
+        # sequence semantics: a later append of a deleted key is visible
+        tbl.append(spark.createDataFrame(revived_rows, tbl.scan().schema))
+        out = tbl.scan()
+        assert out.filter(_F.col("url") == revived).count() == 1
+        return _pages_out(out).localCheckpoint()
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

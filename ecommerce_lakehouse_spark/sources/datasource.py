@@ -79,11 +79,15 @@ def _filter_to_predicate(f: Filter) -> Predicate | None:
 
 
 class IcehouseFilePartition(InputPartition):
-    def __init__(self, path: str, dv_paths: list[str] | None = None):
+    def __init__(self, path: str, dv_paths: list[str] | None = None,
+                 eq_deletes: list[tuple] | None = None):
         self.path = path
         # deletion-vector sidecars covering this file (merge-on-read):
         # absolute parquet paths of (fname, pos) rows
         self.dv_paths = dv_paths or []
+        # equality deletes applicable to this file (file.added_by <= seq):
+        # (abs_path, key_col) tuples
+        self.eq_deletes = eq_deletes or []
 
 
 class IcehouseReader(DataSourceReader):
@@ -122,6 +126,7 @@ class IcehouseReader(DataSourceReader):
             self._predicates or None, snapshot_id=self._snapshot_id
         )
         reg = table.delete_registry(snap)
+        eq = table.eq_deletes(snap)
         import os
 
         return [
@@ -129,6 +134,8 @@ class IcehouseReader(DataSourceReader):
                 os.path.join(table.path, f.path),
                 [os.path.join(table.path, dv)
                  for dv in (reg.get(f.path) or {}).get("dvs", [])],
+                [(os.path.join(table.path, e["path"]), e["key_col"])
+                 for e in eq if (f.added_by or 0) <= e["seq"]],
             )
             for f in files
         ]
@@ -162,6 +169,13 @@ class IcehouseReader(DataSourceReader):
                     type=pa.bool_(),
                 )
                 tbl = tbl.filter(keep)
+        for eq_path, key_col in getattr(partition, "eq_deletes", []) or []:
+            # equality deletes applicable to this file's commit sequence
+            if key_col not in tbl.column_names:
+                continue
+            keys = pq.read_table(eq_path, columns=[key_col]).column(key_col)
+            mask = pc.invert(pc.is_in(tbl.column(key_col), value_set=keys))
+            tbl = tbl.filter(pc.fill_null(mask, True))
         n = tbl.num_rows
         cols = []
         for field in want:

@@ -25,10 +25,83 @@ import shutil
 import uuid
 
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from .format import IcehouseTable, Snapshot
 from .predicates import Predicate, prune_files
 from .stats import file_stats
+
+
+def delete_by_key(
+    table: IcehouseTable,
+    key_col: str,
+    keys,
+) -> Snapshot | None:
+    """EQUALITY delete: mark every existing row whose ``key_col`` is in
+    ``keys`` as deleted — WITHOUT any position scan (Iceberg-v2 equality
+    deletes). The key list is written as one parquet sidecar plus a registry
+    entry carrying the commit SEQUENCE (snapshot id): reads drop matching
+    rows only from data files with ``added_by <= seq``, so re-inserting a
+    key later works, and rewrites (whose outputs get a higher added_by)
+    materialize the delete naturally.
+
+    This is the O(keys) path for huge tables — deleting a handful of keys
+    from 100 TB writes kilobytes and reads NOTHING. ``keys`` is a list of
+    values or a single-column DataFrame.
+    """
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return None
+    schema = table.schema()
+    if key_col not in [f.name for f in schema.fields]:
+        raise ValueError(f"unknown key column {key_col!r}")
+    if isinstance(keys, SparkDataFrame):
+        kdf = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+    else:
+        keys = list(keys)
+        if not keys:
+            return None
+        ktype = schema[key_col].dataType
+        kdf = table.spark.createDataFrame(
+            [(k,) for k in keys], StructType([StructField(key_col, ktype)])
+        ).distinct()
+
+    staging = os.path.join(table.path, f"_staging-eq-{uuid.uuid4().hex}")
+    kdf.coalesce(1).write.mode("overwrite").parquet(staging)
+    eq_rels: list[str] = []
+    total = 0
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"data/eq-{uuid.uuid4().hex[:12]}-{name}"
+        os.rename(os.path.join(staging, name), os.path.join(table.path, rel))
+        rows, _s, _st = file_stats(os.path.join(table.path, rel))
+        if rows:
+            eq_rels.append(rel)
+            total += rows
+        else:
+            os.unlink(os.path.join(table.path, rel))
+    shutil.rmtree(staging, ignore_errors=True)
+    if total == 0:
+        return None
+
+    full = table.delete_registry_full(snap)
+    # seq=None: the commit stamps the parent version AT COMMIT TIME (per CAS
+    # retry), so concurrently-committed files are covered and later appends
+    # of the same keys are not
+    new_eq = full["eq"] + [
+        {"path": rel, "key_col": key_col, "seq": None, "rows": total}
+        for rel in eq_rels
+    ]
+    dm = table._write_delete_registry(full["entries"], new_eq)
+    return table._commit(
+        "delete-rows-eq", [], set(),
+        extra_summary={"eq_delete_keys": total, "eq_delete_files": len(eq_rels)},
+        delete_manifest=dm,
+        base_delete_manifest=snap.delete_manifest,
+    )
 
 
 def delete_where(
@@ -97,14 +170,15 @@ def delete_where(
     for r in hit:
         per_file_rows[by_name[r["fname"]]] = r["count"]
 
-    entries = dict(table.delete_registry(snap))
+    full = table.delete_registry_full(snap)
+    entries = dict(full["entries"])
     for rel, n in per_file_rows.items():
         prev = entries.get(rel, {"dvs": [], "rows": 0})
         entries[rel] = {
             "dvs": list(prev["dvs"]) + dv_rels,
             "rows": prev["rows"] + n,
         }
-    dm = table._write_delete_registry(entries)
+    dm = table._write_delete_registry(entries, full["eq"])
     return table._commit(
         "delete-rows", [], set(),
         extra_summary={
@@ -113,4 +187,5 @@ def delete_where(
             "delete_vectors_added": len(dv_rels),
         },
         delete_manifest=dm,
+        base_delete_manifest=snap.delete_manifest,
     )

@@ -285,17 +285,42 @@ class IcehouseTable:
             return {}
         return self._read_delete_registry(snap.delete_manifest)
 
-    def _read_delete_registry(self, rel: str) -> dict:
-        with open(os.path.join(self.path, rel)) as f:
-            return json.load(f)["entries"]
+    def eq_deletes(self, snapshot: Snapshot | None = None) -> list[dict]:
+        """Equality-delete entries [{path, key_col, seq, rows}] for a
+        snapshot. ``seq`` is the snapshot id the delete committed at: the
+        delete applies only to rows from data files with added_by <= seq,
+        so later appends of the same keys are NOT affected and rewrites
+        (whose outputs carry a higher added_by) materialize it naturally."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None or not snap.delete_manifest:
+            return []
+        return self._read_delete_registry_full(snap.delete_manifest).get("eq", [])
 
-    def _write_delete_registry(self, entries: dict) -> str | None:
-        if not entries:
+    def delete_registry_full(self, snapshot: Snapshot | None = None) -> dict:
+        """{"entries": positional registry, "eq": equality entries} — the
+        shape rewrites capture as their conflict-validation baseline."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None or not snap.delete_manifest:
+            return {"entries": {}, "eq": []}
+        full = self._read_delete_registry_full(snap.delete_manifest)
+        return {"entries": full.get("entries", {}), "eq": full.get("eq", [])}
+
+    def _read_delete_registry(self, rel: str) -> dict:
+        return self._read_delete_registry_full(rel)["entries"]
+
+    def _read_delete_registry_full(self, rel: str) -> dict:
+        with open(os.path.join(self.path, rel)) as f:
+            return json.load(f)
+
+    def _write_delete_registry(
+        self, entries: dict, eq: list[dict] | None = None
+    ) -> str | None:
+        if not entries and not eq:
             return None
         rel = f"manifests/deletes-{uuid.uuid4().hex}.json"
         full = os.path.join(self.path, rel)
         with open(full + ".tmp", "w") as f:
-            json.dump({"entries": entries}, f)
+            json.dump({"entries": entries, "eq": eq or []}, f)
         os.rename(full + ".tmp", full)
         return rel
 
@@ -333,8 +358,16 @@ class IcehouseTable:
         dv_rels = sorted({
             dv for rel, e in reg.items() if rel in wanted for dv in e["dvs"]
         })
+        # equality deletes applicable to at least one of the read files
+        # (sequence semantics: a file written after the delete is immune)
+        eq_all = self.eq_deletes(snapshot)
+        eq = [
+            e for e in eq_all
+            if any((f.added_by or 0) <= e["seq"] for f in files)
+        ]
         df = self.spark.read.schema(schema).parquet(*paths)
-        if dv_rels or with_pos:
+        need_prov = bool(dv_rels) or bool(eq) or with_pos
+        if need_prov:
             df = df.withColumn(
                 "__fname",
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
@@ -351,7 +384,40 @@ class IcehouseTable:
                 dv = F.broadcast(dv)
             cond = (df["__fname"] == dv["fname"]) & (df["__pos"] == dv["pos"])
             df = df.join(dv, cond, "left_anti")
-        if (dv_rels or with_pos) and not with_pos:
+        if eq:
+            # rows inherit their file's commit sequence via a tiny broadcast
+            # (fname -> added_by), then one anti-join per key column:
+            # delete when key matches AND the row's file predates the delete
+            fmap = self.spark.createDataFrame(
+                [(os.path.basename(f.path), f.added_by or 0) for f in files],
+                "__eq_fn string, __added_by long",
+            )
+            df = df.join(
+                F.broadcast(fmap), df["__fname"] == fmap["__eq_fn"], "left"
+            ).drop("__eq_fn")
+            by_col: dict[str, list[dict]] = {}
+            for e in eq:
+                by_col.setdefault(e["key_col"], []).append(e)
+            for key_col, group in sorted(by_col.items()):
+                keys = None
+                for e in group:
+                    one = self.spark.read.parquet(
+                        os.path.join(self.path, e["path"])
+                    ).select(
+                        F.col(key_col).alias("__ek"),
+                        F.lit(e["seq"]).cast("long").alias("__eseq"),
+                    )
+                    keys = one if keys is None else keys.unionByName(one)
+                if sum(e["rows"] for e in group) <= 1_000_000:
+                    keys = F.broadcast(keys)
+                df = df.join(
+                    keys,
+                    (df[key_col] == keys["__ek"])
+                    & (df["__added_by"] <= keys["__eseq"]),
+                    "left_anti",
+                )
+            df = df.drop("__added_by")
+        if need_prov and not with_pos:
             df = df.drop("__fname", "__pos")
         return df
 
@@ -496,6 +562,7 @@ class IcehouseTable:
         txn: tuple[str, int] | None = None,
         delete_manifest: str | None = _INHERIT_DELETES,
         base_delete_registry: dict | None = None,
+        base_delete_manifest: str | None = "__unchecked__",
     ) -> Snapshot | None:
         """Optimistic commit with rebase-and-retry.
 
@@ -593,14 +660,30 @@ class IcehouseTable:
             #   those entries would resurrect the newly-deleted rows.
             if delete_manifest != self._INHERIT_DELETES:
                 if delete_manifest is not None:
+                    # a DELETE commit's registry was derived from a base
+                    # snapshot; if another delete committed since, adopting
+                    # ours would silently DROP theirs — abort and re-derive
+                    parent_dm_now = (
+                        snap.get("delete_manifest")
+                        if version > 0 and snap else None
+                    )
+                    if (
+                        base_delete_manifest != "__unchecked__"
+                        and parent_dm_now != base_delete_manifest
+                    ):
+                        raise CommitConflict(
+                            f"{operation}: the delete registry changed "
+                            f"under this commit (concurrent delete) — "
+                            f"re-derive against the current snapshot"
+                        )
+                    fullreg = self._read_delete_registry_full(delete_manifest)
                     live_now = {
                         f.path
                         for e in base_entries
                         for f in self._read_manifest(e["path"])
                     }
                     stale = [
-                        rel for rel in
-                        self._read_delete_registry(delete_manifest)
+                        rel for rel in fullreg.get("entries", {})
                         if rel not in live_now
                     ]
                     if stale:
@@ -610,18 +693,39 @@ class IcehouseTable:
                             f"{sorted(stale)[:3]}... — re-run the delete "
                             f"against the current snapshot"
                         )
-                child_dm = delete_manifest
+                    # equality-delete sequences are assigned AT COMMIT (per
+                    # retry attempt, so a CAS loser re-stamps the NEW parent
+                    # version): the delete covers every file existing now
+                    # (added_by <= parent version) and nothing appended later
+                    if any(e.get("seq") is None for e in fullreg.get("eq", [])):
+                        fixed = [
+                            {**e, "seq": version if e.get("seq") is None
+                             else e["seq"]}
+                            for e in fullreg.get("eq", [])
+                        ]
+                        child_dm = self._write_delete_registry(
+                            fullreg.get("entries", {}), fixed
+                        )
+                    else:
+                        child_dm = delete_manifest
+                else:
+                    child_dm = delete_manifest
             else:
                 child_dm = None
                 parent_dm = (
                     snap.get("delete_manifest") if version > 0 and snap else None
                 )
                 if parent_dm:
-                    entries = self._read_delete_registry(parent_dm)
+                    full = self._read_delete_registry_full(parent_dm)
+                    entries = full.get("entries", {})
+                    parent_eq = full.get("eq", [])
                     if base_delete_registry is not None:
+                        base_e = base_delete_registry.get(
+                            "entries", base_delete_registry
+                        )
                         changed = [
                             rel for rel in removed_paths
-                            if entries.get(rel) != base_delete_registry.get(rel)
+                            if entries.get(rel) != base_e.get(rel)
                         ]
                         if changed:
                             raise CommitConflict(
@@ -630,6 +734,17 @@ class IcehouseTable:
                                 f"them: {sorted(changed)[:3]}... — dropping "
                                 f"their entries would resurrect deleted rows"
                             )
+                        if (
+                            removed_paths
+                            and "entries" in base_delete_registry
+                            and parent_eq != base_delete_registry.get("eq", [])
+                        ):
+                            raise CommitConflict(
+                                f"{operation}: equality deletes changed "
+                                f"after this rewrite read its input — the "
+                                f"rewritten files (higher added_by) would "
+                                f"escape the new deletes"
+                            )
                     kept_e = {
                         k: v for k, v in entries.items()
                         if k not in removed_paths
@@ -637,7 +752,7 @@ class IcehouseTable:
                     if len(kept_e) == len(entries):
                         child_dm = parent_dm  # unchanged: reuse the file
                     else:
-                        child_dm = self._write_delete_registry(kept_e)
+                        child_dm = self._write_delete_registry(kept_e, parent_eq)
 
             snapshot_id = version + 1
             manifest_list_rel = self._write_manifest_list(new_entries)

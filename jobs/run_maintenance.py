@@ -51,6 +51,7 @@ def main() -> None:
         MaintenanceLoop,
         compact,
         expire_snapshots,
+        rewrite_delete_vectors,
         rewrite_manifests,
         zorder_by,
     )
@@ -104,6 +105,12 @@ def main() -> None:
             "ran": snap is not None,
             **(snap.summary if snap else {}),
         }
+
+    # DV maintenance: consolidate positional sidecars, retire spent
+    # equality entries (no-op when the table has no delete registry)
+    dv_snap = rewrite_delete_vectors(tbl)
+    if dv_snap is not None:
+        metrics["rewrite_deletes"] = dv_snap.summary
 
     rewrite_manifests(tbl)
     if not args.skip_expire:

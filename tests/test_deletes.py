@@ -253,3 +253,133 @@ def test_rewrite_delete_vectors_consolidates_sidecars(spark, tbl):
 
     # nothing left to consolidate
     assert rewrite_delete_vectors(tbl) is None
+
+
+# ------------------------------------------------------- equality deletes
+
+def test_delete_by_key_hides_rows_without_reading_data(spark, tbl):
+    """Equality delete: O(keys) — one sidecar write, no position scan, no
+    data file touched; matching rows vanish from scans."""
+    files_before = {f.path for f in tbl.live_files()}
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(6).collect()]
+    pre = tbl.current_snapshot().snapshot_id
+
+    from ecommerce_lakehouse_spark.table import delete_by_key
+
+    snap = delete_by_key(tbl, "url", victims)
+    assert snap is not None and snap.operation == "delete-rows-eq"
+    assert snap.summary["eq_delete_keys"] == 6
+    assert {f.path for f in tbl.live_files()} == files_before
+    assert tbl.scan().count() == 494
+    assert tbl.scan().filter(F.col("url").isin(victims)).count() == 0
+    # time travel still sees them
+    assert tbl.scan(snapshot_id=pre).count() == 500
+
+
+def test_eq_delete_sequence_semantics_reinsert(spark, tbl):
+    """The delete covers only files that existed at commit: appending the
+    SAME key afterwards makes it visible again (Iceberg sequence-number
+    semantics via added_by)."""
+    from ecommerce_lakehouse_spark.table import delete_by_key
+
+    victim_rows = tbl.scan().orderBy("url").limit(1).collect()
+    victim = victim_rows[0].url
+    delete_by_key(tbl, "url", [victim])
+    assert tbl.scan().filter(F.col("url") == victim).count() == 0
+
+    # re-insert the key via a plain append
+    re_add = spark.createDataFrame(victim_rows, tbl.scan().schema)
+    tbl.append(re_add)
+    got = tbl.scan().filter(F.col("url") == victim)
+    assert got.count() == 1, "the re-inserted row must escape the older delete"
+    assert tbl.scan().count() == 500
+
+
+def test_eq_delete_materialized_by_rewrite_and_retired(spark, tbl):
+    from ecommerce_lakehouse_spark.maintenance import (
+        compact,
+        rewrite_delete_vectors,
+    )
+    from ecommerce_lakehouse_spark.table import delete_by_key
+
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(5).collect()]
+    delete_by_key(tbl, "url", victims)
+    assert len(tbl.eq_deletes()) == 1
+
+    assert compact(tbl, target_file_bytes=1 << 30) is not None
+    assert tbl.scan().count() == 495
+    assert tbl.scan().filter(F.col("url").isin(victims)).count() == 0
+    # all pre-delete files were rewritten -> the eq entry applies to nothing;
+    # DV maintenance retires it
+    snap = rewrite_delete_vectors(tbl)
+    assert snap is not None and snap.summary.get("eq_entries_retired") == 1
+    assert tbl.eq_deletes() == []
+    assert tbl.scan().count() == 495
+
+
+def test_dsv2_reader_applies_eq_deletes(spark, tbl):
+    from ecommerce_lakehouse_spark.sources.datasource import register
+    from ecommerce_lakehouse_spark.table import delete_by_key
+
+    register(spark)
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(4).collect()]
+    delete_by_key(tbl, "url", victims)
+    # and a later re-insert of one key must be visible through DSv2 too
+    row = tbl.scan(snapshot_id=1).filter(F.col("url") == victims[0]).collect()
+    tbl.append(spark.createDataFrame(row, tbl.scan().schema))
+
+    df = spark.read.format("icehouse").load(tbl.path)
+    assert df.count() == 497
+    assert df.filter(F.col("url").isin(victims)).count() == 1
+    assert df.filter(F.col("url") == victims[0]).count() == 1
+
+
+def test_mixed_positional_and_eq_deletes_stack(spark, tbl):
+    from ecommerce_lakehouse_spark.table import delete_by_key
+
+    urls = [r.url for r in tbl.scan().select("url").orderBy("url").limit(8).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(urls[:4]))])
+    delete_by_key(tbl, "url", urls[4:])
+    assert tbl.scan().count() == 492
+    assert tbl.scan().filter(F.col("url").isin(urls)).count() == 0
+
+
+def test_rewrite_conflicts_when_eq_delete_lands_mid_rewrite(spark, tbl):
+    """A rewrite must abort when an equality delete committed after it read
+    its input: the rewritten files' higher added_by would escape it."""
+    from ecommerce_lakehouse_spark.table import delete_by_key
+    from ecommerce_lakehouse_spark.table.format import CommitConflict
+
+    files = tbl.live_files()
+    base = tbl.delete_registry_full()
+    staged = tbl._stage_dataframe(
+        tbl.read_files(files), None, snapshot_id=tbl.current_version() + 1
+    )
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(2).collect()]
+    delete_by_key(tbl, "url", victims)
+
+    with pytest.raises(CommitConflict, match="equality deletes changed"):
+        tbl.replace_files(
+            [f.path for f in files], None, operation="compact",
+            precomputed_added=staged, base_delete_registry=base,
+        )
+
+
+def test_concurrent_delete_commits_conflict(spark, tbl):
+    """Two deletes derived from the same base: the loser must abort instead
+    of silently dropping the winner's registry additions."""
+    from ecommerce_lakehouse_spark.table import delete_by_key
+    from ecommerce_lakehouse_spark.table.format import CommitConflict
+
+    base_dm = tbl.current_snapshot().delete_manifest  # None
+    urls = [r.url for r in tbl.scan().select("url").orderBy("url").limit(4).collect()]
+    delete_by_key(tbl, "url", urls[:2])  # the winner
+
+    # the loser derived its registry from the pre-winner snapshot
+    stale_dm = tbl._write_delete_registry(
+        {}, [{"path": "data/eq-ghost.parquet", "key_col": "url",
+              "seq": None, "rows": 2}]
+    )
+    with pytest.raises(CommitConflict, match="registry changed"):
+        tbl._commit("delete-rows-eq", [], set(), delete_manifest=stale_dm,
+                    base_delete_manifest=base_dm)
