@@ -353,16 +353,16 @@ class IcehouseTable:
                 ).withColumn("__pos", F.lit(None).cast("long"))
             return df
         paths = [os.path.join(self.path, f.path) for f in files]
-        reg = self.delete_registry(snapshot)
+        full_reg = self.delete_registry_full(snapshot)
+        reg = full_reg["entries"]
         wanted = {f.path for f in files}
         dv_rels = sorted({
             dv for rel, e in reg.items() if rel in wanted for dv in e["dvs"]
         })
         # equality deletes applicable to at least one of the read files
         # (sequence semantics: a file written after the delete is immune)
-        eq_all = self.eq_deletes(snapshot)
         eq = [
-            e for e in eq_all
+            e for e in full_reg["eq"]
             if any((f.added_by or 0) <= e["seq"] for f in files)
         ]
         df = self.spark.read.schema(schema).parquet(*paths)
