@@ -637,6 +637,15 @@ class IcehouseTable:
                     f"{operation}: files no longer live: {sorted(remaining)[:3]}..."
                 )
             if added:
+                # added_by stamped at STAGING time is only provisional: a
+                # CAS loser commits at a HIGHER version, while equality-
+                # delete seqs are stamped at commit time — without a
+                # re-stamp, an append losing the race behind another commit
+                # plus a delete_by_key would land with added_by <= the
+                # delete's seq and its fresh rows would be silently hidden.
+                # Manifests are rewritten per attempt, so this is safe.
+                for f in added:
+                    f.added_by = version + 1
                 # at create time the codec property isn't committed yet —
                 # honor the one being committed right now
                 fmt = (properties or {}).get("manifest.codec")

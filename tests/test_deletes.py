@@ -383,3 +383,33 @@ def test_concurrent_delete_commits_conflict(spark, tbl):
     with pytest.raises(CommitConflict, match="registry changed"):
         tbl._commit("delete-rows-eq", [], set(), delete_manifest=stale_dm,
                     base_delete_manifest=base_dm)
+
+
+def test_cas_loser_append_restamps_added_by_past_eq_delete_seq(spark, tbl):
+    """ADVICE r03 (medium): an append staged BEFORE a concurrent commit +
+    delete_by_key must re-stamp added_by at commit time — otherwise its
+    added_by <= the delete's seq and the fresh rows are silently hidden."""
+    from ecommerce_lakehouse_spark.table import delete_by_key
+
+    victim = tbl.scan().select("url").orderBy("url").first().url
+    fresh = tbl.scan().filter(F.col("url") == victim).collect()
+
+    # stage an append of the victim's row at the CURRENT version (provisional
+    # added_by = v+1), but don't commit yet — this is the CAS loser
+    staged = tbl._stage_dataframe(
+        spark.createDataFrame(fresh, tbl.scan().schema), None,
+        snapshot_id=tbl.current_version() + 1,
+    )
+    # meanwhile two commits land: an unrelated append, then an eq delete
+    tbl.append(generate_pages(spark, 5, seed=99, partitions=1))
+    delete_by_key(tbl, "url", [victim])
+    seq = tbl.delete_registry_full(tbl.current_snapshot())["eq"][-1]["seq"]
+    assert tbl.scan().filter(F.col("url") == victim).count() == 0
+
+    # the loser now commits; its files must carry added_by > the delete seq
+    tbl._commit("append", staged, set())
+    live = {f.path: f for f in tbl.live_files()}
+    for f in staged:
+        assert live[f.path].added_by > seq
+    # and the freshly appended row is VISIBLE despite the equality delete
+    assert tbl.scan().filter(F.col("url") == victim).count() == 1
