@@ -35,5 +35,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    """DuckDB-equivalent SQL for every SQL-expressible query.
+
+    The maintenance oracles read pre-materialized fixture parquet (the same
+    files the Spark queries ingest) — materialize them here too, Spark-free,
+    so the SQL is runnable regardless of which side the driver runs first.
+    """
+    from ecommerce_lakehouse_spark.datagen.fixtures import ensure_fixtures
+
+    ensure_fixtures()
     return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -111,6 +111,25 @@ def main() -> None:
         maint["merge_candidates_global"] = msum.get("merge_candidates_global")
         maint["merge_candidates_scanned"] = msum.get("merge_candidates_scanned")
 
+        # WARM merge (VERDICT r03 #8): a second, smaller delta against the
+        # now-warm session isolates steady-state merge cost from the ~1.5 s
+        # one-time Python-worker/codegen warmup the cold number carries —
+        # round-over-round merge deltas should track THIS number.
+        warm_raw = dedup_latest(
+            generate_recrawl_delta(
+                spark, N_PAGES, n_new=0, n_recrawl=N_PAGES // 10,
+                seed=42, partitions=CPUS,
+            ),
+            ["url"], "warc_ts",
+        )
+        warm_raw.write.mode("overwrite").parquet(f"{work}/delta_warm")
+        warm_delta = spark.read.parquet(f"{work}/delta_warm")
+        t0 = time.time()
+        merge_into(tbl, warm_delta, "url", target_file_rows=N_PAGES // CPUS)
+        warm_sec = time.time() - t0
+        maint["warm_merge_sec"] = round(warm_sec, 3)
+        maint["warm_merge_rows_per_sec"] = round((N_PAGES // 10) / warm_sec, 1)
+
         # compact small files
         t0 = time.time()
         compact(tbl, target_file_bytes=64 * 1024 * 1024, max_concurrency=CPUS)

@@ -72,6 +72,12 @@ class MaintenanceLoop:
         the loop's own commits so maintenance never retriggers itself."""
         if not self.pending():
             return {"ran": False, "reason": "no new snapshots"}
+        # capture the version observed at cycle START: writer commits landing
+        # DURING the cycle must stay pending for the next cycle (ADVICE r03 —
+        # marking current_version() after compacting swallowed them until yet
+        # another commit arrived). The loop's OWN commits advance the table
+        # version past this base and are accounted for below.
+        observed = self.table.current_version()
         out: dict = {"ran": True}
         snap = compact(
             self.table,
@@ -90,8 +96,15 @@ class MaintenanceLoop:
             out["clustered"] = csnap is not None
         # mark AFTER the work commits: a crash before this line re-runs the
         # cycle, and the deterministic compact job id + ledger make that
-        # re-run adopt staged bins instead of redoing them
-        self._mark_processed(self.table.current_version())
+        # re-run adopt staged bins instead of redoing them. Advance only past
+        # the observed base + this cycle's OWN commits — never past writer
+        # commits that raced in during the cycle (they stay pending). With a
+        # concurrent writer the loop's own commit ids can exceed this mark,
+        # costing at most one extra no-op cycle (liveness, never a swallow).
+        own_commits = sum(
+            1 for s in (snap, csnap if self.cluster else None) if s is not None
+        )
+        self._mark_processed(observed + own_commits)
         return out
 
     def run(self, max_cycles: int | None = None,

@@ -239,10 +239,31 @@ def zorder_by(
                 F.unix_micros(F.col(c).cast("timestamp")), bits,
                 lo=F.unix_micros(c_lo_col), hi=F.unix_micros(c_hi_col),
             ))
-        else:
+        elif dtype == "date":
+            # manifest stats store dates as ISO strings (table/stats._norm);
+            # the generic numeric branch would cast them to NULL doubles and
+            # fillna(0) would silently collapse this clustering axis
+            # (ADVICE r03). Scale on days-since-epoch instead.
+            try:
+                lo_d = datetime.date.fromisoformat(str(c_lo))
+                hi_d = datetime.date.fromisoformat(str(c_hi))
+            except ValueError:
+                extra_coords.append(coordn(F.xxhash64(F.col(c)), bits))
+                continue
+            extra_coords.append(coordn(
+                F.unix_date(F.col(c)), bits,
+                lo=F.lit((lo_d - datetime.date(1970, 1, 1)).days),
+                hi=F.lit((hi_d - datetime.date(1970, 1, 1)).days),
+            ))
+        elif isinstance(c_lo, (int, float)) and isinstance(c_hi, (int, float)) \
+                and not isinstance(c_lo, bool) and not isinstance(c_hi, bool):
             extra_coords.append(
                 coordn(F.col(c), bits, lo=F.lit(c_lo), hi=F.lit(c_hi))
             )
+        else:
+            # non-numeric stats bounds on a non-string column: fall back to
+            # the hash coordinate rather than a constant axis
+            extra_coords.append(coordn(F.xxhash64(F.col(c)), bits))
     coded = df.withColumn("__zcode", kernel(x, y, *extra_coords))
     # staging range-partitions + sorts on the transient code (and composes
     # with the bucket layout when the table has one: files come out

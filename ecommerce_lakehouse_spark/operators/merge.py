@@ -371,14 +371,18 @@ def merge_into(
     candidates = _prune_candidates(table.live_files(base_snap), prep, keys)
     n_global_candidates = len(candidates)
     bucket_spec = table.bucket_spec()
-    if candidates and bucket_spec is not None and keys == [bucket_spec[0]]:
-        # bucket-tag routing: layout-independent, zero data read
+    if candidates and bucket_spec is not None and keys[0] == bucket_spec[0]:
+        # bucket-tag routing: layout-independent, zero data read. Routing on
+        # the LEADING key is conservative for composite keys too — a match
+        # requires equality on every key, so a file whose bucket tag covers
+        # no source keys[0] value cannot contain a match (VERDICT r03 #5).
         candidates = _bucket_candidates(
             candidates, src_keys, bucket_spec[0], bucket_spec[1]
         )
-    if candidates and len(keys) == 1:
-        # per-file interval routing: on clustered tables this is what keeps
-        # the discovery read O(touched ranges) instead of O(candidates)
+    if candidates:
+        # per-file interval routing on the leading key: on clustered tables
+        # this is what keeps the discovery read O(touched ranges) instead of
+        # O(candidates); composite keys route on keys[0] (superset-safe)
         candidates = _interval_candidates(candidates, src_keys, keys[0])
     if salt_buckets:
         # Deterministic salt spreads one hot key across buckets for the

@@ -1,11 +1,20 @@
-"""Maintenance-suite queries for the driver's rows-only checks.
+"""Maintenance-suite queries, hash-checked against DuckDB oracles.
 
-Each entry builds a deterministic Icehouse pages table in a scratch dir,
-runs real maintenance (MERGE / SCD2 / compact+Z-order / expire), and returns
-the resulting scan. No SQL oracle exists (the ops run over our own table
-format), so the driver records rows-only results — which are still exact:
-the datagen is a pure function of (seed, index) and every maintenance op is
-deterministic, so row sets are stable across runs.
+Each entry builds a deterministic Icehouse pages table in a scratch dir
+from a pre-materialized parquet fixture (datagen/fixtures.py — written by
+the same pure (seed, index) kernel on both engines' path), runs real
+maintenance (MERGE / SCD2 / compact+Z-order / expire / delete vectors),
+and returns the resulting scan. The matching oracle SQL reads the SAME
+fixture parquet via ``read_parquet`` and states the EXPECTED post-
+maintenance result relationally — SCD1 merge as a latest-wins full-outer
+join, SCD2 as the closed/open version chain, compaction/expiry as
+identity over the union (the north-rule "identical row sets" invariant),
+and the delete stack as set subtraction with the re-inserted key added
+back. A maintenance op that loses, duplicates or resurrects a row now
+fails the value hash, not just a row count.
+
+Reference semantics anchored at ``src/silver/ingest_silver_tables.py:
+96-107`` (SCD1) and ``:244-282`` (SCD2 close+insert).
 """
 
 from __future__ import annotations
@@ -16,6 +25,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .datagen.fixtures import ensure_fixtures, fixture_path
 
 FIXED_NOW = datetime.datetime(2024, 7, 1, 0, 0, 0)
 
@@ -35,41 +46,59 @@ def _pages_out(df: DataFrame) -> DataFrame:
     )
 
 
+def _read_fixture(spark: SparkSession, name: str, partitions: int) -> DataFrame:
+    """Load a fixture with a controlled partition count so maintenance has
+    multiple files to work on (content is partitioning-independent)."""
+    ensure_fixtures()
+    return spark.read.parquet(fixture_path(name)).repartition(partitions)
+
+
+_PAGES_PROJ = "url, epoch_us(warc_ts) AS warc_ts_us, length(text) AS text_len, lang"
+
+
 def m_merge_scd1_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD1 MERGE over the pages table: 2000 base, 400 recrawls, 200 new."""
-    from .datagen import generate_pages, generate_recrawl_delta
     from .operators.merge import dedup_latest, merge_into
     from .table import IcehouseTable
 
     d = _fresh_dir()
     try:
-        tbl = IcehouseTable.create(
-            spark, f"{d}/t", generate_pages(spark, 2000, seed=5, partitions=4)
-        )
-        delta = dedup_latest(
-            generate_recrawl_delta(spark, 2000, n_new=200, n_recrawl=400, seed=5),
-            ["url"], "warc_ts",
-        )
+        tbl = IcehouseTable.create(spark, f"{d}/t", _read_fixture(spark, "merge_base", 4))
+        delta = dedup_latest(_read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts")
         merge_into(tbl, delta, "url")
         return _pages_out(tbl.scan()).localCheckpoint()
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
 
+SQL_M_MERGE_SCD1 = f"""
+WITH base AS (SELECT * FROM read_parquet('{fixture_path("merge_base")}')),
+delta AS (SELECT * FROM read_parquet('{fixture_path("merge_delta")}')),
+d AS (
+  SELECT url, warc_ts, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM delta
+  ) WHERE rn = 1
+)
+SELECT coalesce(d.url, b.url) AS url,
+       epoch_us(coalesce(d.warc_ts, b.warc_ts)) AS warc_ts_us,
+       length(coalesce(d.text, b.text)) AS text_len,
+       coalesce(d.lang, b.lang) AS lang
+FROM base b FULL OUTER JOIN d ON b.url = d.url
+"""
+
+
 def m_compact_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction + Z-order, then a predicate-pushdown scan: returns the
     post-maintenance watermark slice (must equal the pre-maintenance one —
-    the north-rule identical-row-sets invariant, asserted in tests)."""
-    from .datagen import generate_pages
+    the north-rule identical-row-sets invariant, now oracle-hash-checked)."""
     from .maintenance import compact, zorder_by
     from .table import IcehouseTable, Predicate
 
     d = _fresh_dir()
     try:
-        tbl = IcehouseTable.create(
-            spark, f"{d}/t", generate_pages(spark, 1500, seed=9, partitions=5)
-        )
-        tbl.append(generate_pages(spark, 500, seed=9, partitions=3, revision=2))
+        tbl = IcehouseTable.create(spark, f"{d}/t", _read_fixture(spark, "cz_base", 5))
+        tbl.append(_read_fixture(spark, "cz_rev2", 3))
         compact(tbl, target_file_bytes=8 * 1024 * 1024)
         zorder_by(tbl, curve="hilbert", target_file_bytes=512 * 1024)
         cutoff = datetime.datetime(2023, 12, 1)
@@ -78,19 +107,29 @@ def m_compact_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+SQL_M_COMPACT_ZORDER = f"""
+SELECT {_PAGES_PROJ}
+FROM (
+  SELECT * FROM read_parquet('{fixture_path("cz_base")}')
+  UNION ALL
+  SELECT * FROM read_parquet('{fixture_path("cz_rev2")}')
+)
+WHERE warc_ts > TIMESTAMP '2023-12-01 00:00:00'
+"""
+
+
 def m_scd2_history_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 recrawl history: two batches → closed/open version chains."""
-    from .datagen import generate_pages
     from .operators.scd import scd2_merge
     from .table import IcehouseTable
 
     d = _fresh_dir()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        base = generate_pages(spark, 800, seed=11, partitions=2).select(
+        base = _read_fixture(spark, "scd2_base", 2).select(
             "url", "text", "lang", F.col("warc_ts").alias("crawl_ts")
         )
-        recrawl = generate_pages(spark, 300, seed=11, partitions=2, revision=1).select(
+        recrawl = _read_fixture(spark, "scd2_recrawl", 2).select(
             "url", "text", "lang", F.col("warc_ts").alias("crawl_ts")
         )
         scd2_merge(spark, f"{d}/dim", base, ["url"], ["text", "lang"], "crawl_ts",
@@ -110,25 +149,55 @@ def m_scd2_history_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+# version_sk = md5(concat_ws('||', epoch_us(change_ts), url)) — operators/scd.py
+_SK = "md5(concat(CAST(epoch_us({ts}) AS VARCHAR), '||', {url}))"
+_TS_MAX_US = "epoch_us(TIMESTAMP '9999-12-31 23:59:59')"
+
+SQL_M_SCD2_HISTORY = f"""
+WITH b AS (SELECT url, text, warc_ts AS ts FROM read_parquet('{fixture_path("scd2_base")}')),
+r AS (SELECT url, text, warc_ts AS ts FROM read_parquet('{fixture_path("scd2_recrawl")}'))
+SELECT b.url AS url, length(b.text) AS text_len,
+       epoch_us(b.ts) AS from_us, epoch_us(r.ts) AS to_us,
+       FALSE AS is_current, {_SK.format(ts="b.ts", url="b.url")} AS version_sk
+FROM b JOIN r ON b.url = r.url
+UNION ALL
+SELECT r.url, length(r.text), epoch_us(r.ts), {_TS_MAX_US},
+       TRUE, {_SK.format(ts="r.ts", url="r.url")}
+FROM r
+UNION ALL
+SELECT b.url, length(b.text), epoch_us(b.ts), {_TS_MAX_US},
+       TRUE, {_SK.format(ts="b.ts", url="b.url")}
+FROM b
+WHERE b.url NOT IN (SELECT url FROM r)
+"""
+
+
 def m_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expiry keeps the current snapshot byte-identical while sweeping
     unreferenced files; returns the post-expiry scan."""
-    from .datagen import generate_pages
     from .maintenance import compact, expire_snapshots, rewrite_manifests
     from .table import IcehouseTable
 
     d = _fresh_dir()
     try:
-        tbl = IcehouseTable.create(
-            spark, f"{d}/t", generate_pages(spark, 600, seed=13, partitions=3)
-        )
-        tbl.append(generate_pages(spark, 200, seed=14, partitions=2))
+        tbl = IcehouseTable.create(spark, f"{d}/t", _read_fixture(spark, "exp_a", 3))
+        tbl.append(_read_fixture(spark, "exp_b", 2))
         compact(tbl, target_file_bytes=8 * 1024 * 1024)
         rewrite_manifests(tbl, target_entries=100)
         expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)
         return _pages_out(tbl.scan()).localCheckpoint()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_SNAPSHOT_EXPIRE = f"""
+SELECT {_PAGES_PROJ}
+FROM (
+  SELECT * FROM read_parquet('{fixture_path("exp_a")}')
+  UNION ALL
+  SELECT * FROM read_parquet('{fixture_path("exp_b")}')
+)
+"""
 
 
 def m_delete_vectors_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,17 +208,19 @@ def m_delete_vectors_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final scan — victims are fixed url slices."""
     import pyspark.sql.functions as _F
 
-    from .datagen import generate_pages
     from .maintenance import compact
     from .table import IcehouseTable, Predicate, delete_by_key, delete_where
 
     d = _fresh_dir()
     try:
-        tbl = IcehouseTable.create(
-            spark, f"{d}/t", generate_pages(spark, 1500, seed=9, partitions=3)
-        )
+        tbl = IcehouseTable.create(spark, f"{d}/t", _read_fixture(spark, "cz_base", 3))
+        # driver-side victim pick is bounded: the fixture has 1,500 distinct
+        # urls and the slices below only reach index ~1,067 — the limit is a
+        # hard cap so this pattern can never become an unbounded collect
         urls = sorted(
-            r.url for r in tbl.scan().select("url").distinct().collect()
+            r.url
+            for r in tbl.scan().select("url").distinct()
+            .orderBy("url").limit(2048).collect()
         )
         victims = tuple(urls[::97][:12])
         snap = delete_where(tbl, [Predicate("url", "in", victims)])
@@ -171,10 +242,27 @@ def m_delete_vectors_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+SQL_M_DELETE_VECTORS = f"""
+WITH base AS (SELECT * FROM read_parquet('{fixture_path("cz_base")}')),
+u AS (
+  SELECT url, row_number() OVER (ORDER BY url) - 1 AS i
+  FROM (SELECT DISTINCT url FROM base)
+),
+victims AS (SELECT url FROM u WHERE i % 97 = 0 ORDER BY i LIMIT 12),
+eq8 AS (SELECT url, i FROM u WHERE i >= 3 AND (i - 3) % 101 = 0 ORDER BY i LIMIT 8),
+eqv AS (SELECT url, i FROM eq8 WHERE url NOT IN (SELECT url FROM victims)),
+revived AS (SELECT url FROM eqv ORDER BY i LIMIT 1)
+SELECT {_PAGES_PROJ}
+FROM base
+WHERE url NOT IN (SELECT url FROM victims)
+  AND (url NOT IN (SELECT url FROM eqv) OR url IN (SELECT url FROM revived))
+"""
+
+
 MAINTENANCE_REGISTRY: dict = {
-    "m_merge_scd1_pages": (m_merge_scd1_pages, None),
-    "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, None),
-    "m_scd2_history_pages": (m_scd2_history_pages, None),
-    "m_snapshot_expire": (m_snapshot_expire, None),
-    "m_delete_vectors_pages": (m_delete_vectors_pages, None),
+    "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
+    "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
+    "m_scd2_history_pages": (m_scd2_history_pages, SQL_M_SCD2_HISTORY),
+    "m_snapshot_expire": (m_snapshot_expire, SQL_M_SNAPSHOT_EXPIRE),
+    "m_delete_vectors_pages": (m_delete_vectors_pages, SQL_M_DELETE_VECTORS),
 }

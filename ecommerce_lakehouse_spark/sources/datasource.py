@@ -145,6 +145,7 @@ class IcehouseReader(DataSourceReader):
     def read(self, partition: IcehouseFilePartition):
         import os
 
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -162,11 +163,12 @@ class IcehouseReader(DataSourceReader):
             fname = os.path.basename(partition.path)
             dv = pq.read_table(partition.dv_paths, columns=["fname", "pos"])
             dv = dv.filter(pc.equal(dv.column("fname"), fname))
-            dead = set(dv.column("pos").to_pylist())
-            if dead:
-                keep = pa.array(
-                    [i not in dead for i in range(tbl.num_rows)],
-                    type=pa.bool_(),
+            if dv.num_rows:
+                # vectorized keep-mask: positions-index is_in, no O(rows)
+                # Python loop on the read path (VERDICT r03 #2)
+                idx = pa.array(np.arange(tbl.num_rows, dtype=np.int64))
+                keep = pc.invert(
+                    pc.is_in(idx, value_set=dv.column("pos").cast(pa.int64()))
                 )
                 tbl = tbl.filter(keep)
         for eq_path, key_col in getattr(partition, "eq_deletes", []) or []:
@@ -204,11 +206,12 @@ class IcehouseWriter(DataSourceArrowWriter):
     """Each task stages ONE parquet file into the table's data dir and ships
     its footer stats in the commit message; the driver-side commit() turns
     the messages into a single atomic Icehouse snapshot (append, or
-    overwrite for mode("overwrite")). On BUCKETED tables, DSv2-written
-    files carry no bucket tag (the writer can't re-partition its input),
-    which is CORRECT — untagged files are always kept by merge discovery —
-    just unpruned; prefer ``IcehouseTable.append`` for bucketed tables so
-    tags (and discovery pruning) stay intact. A failed job leaves only staged files,
+    overwrite for mode("overwrite")). On BUCKETED tables, commit()
+    re-stages the batch through the table's bucket-aware path (the JVM
+    xxhash64 routing the Python writer can't compute) so DSv2 writes keep
+    __bucket tags and MERGE discovery pruning — at the cost of one extra
+    read+write of the batch; ``IcehouseTable.append`` avoids that second
+    pass. A failed job leaves only staged files,
     which the orphan sweep ages out — the table never sees partial writes."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
@@ -258,7 +261,9 @@ class IcehouseWriter(DataSourceArrowWriter):
 
         from ..table.format import DataFile, IcehouseTable
 
-        spark = SparkSession.getActiveSession()
+        # commit() can run on a non-main driver thread where no session is
+        # "active"; fall back to the (single) instantiated session
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         table = IcehouseTable(spark, self._path)
         added = [
             DataFile(m.rel_path, m.row_count, m.size_bytes, m.stats,
@@ -277,6 +282,37 @@ class IcehouseWriter(DataSourceArrowWriter):
             return
         widened = table.reconcile_schema(self._schema, self._merge_schema)
         schema_json = widened.jsonValue() if widened is not None else None
+        if table.bucket_spec() is not None and added:
+            # Bucketed table: the Python writer can't replicate the JVM
+            # xxhash64 bucket routing executor-side, so RE-STAGE the staged
+            # files through the table's bucket-aware path (one extra
+            # read+write of this batch, driver-orchestrated) — DSv2 appends
+            # then keep their __bucket tags and MERGE discovery pruning
+            # intact instead of silently degrading (VERDICT r03 #3).
+            import os
+
+            order = [f.name for f in (widened or table.schema()).fields]
+            df = (
+                spark.read.schema(self._schema)
+                .parquet(*[os.path.join(table.path, f.path) for f in added])
+                .select(*order)
+            )
+            restaged = table._stage_dataframe(
+                df, None, snapshot_id=table.current_version() + 1
+            )
+            if self._overwrite:
+                removed = {f.path for f in table.live_files()}
+                table._commit("overwrite", restaged, removed,
+                              schema_json=schema_json)
+            else:
+                table._commit("append", restaged, set(),
+                              schema_json=schema_json)
+            for f in added:  # the untagged originals never joined the table
+                try:
+                    os.unlink(os.path.join(table.path, f.path))
+                except OSError:
+                    pass
+            return
         if self._overwrite:
             removed = {f.path for f in table.live_files()}
             table._commit("overwrite", added, removed, schema_json=schema_json)

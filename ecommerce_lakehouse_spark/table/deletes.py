@@ -159,23 +159,36 @@ def delete_where(
     if total == 0:
         return None
 
-    # which data files gained positions (bounded by candidate count)
+    # which data files gained positions, and in WHICH sidecar part files —
+    # registering only the sidecars that actually hold positions for a file
+    # keeps per-file read fan-in and the broadcast row estimate exact
+    # (ADVICE r03: appending the full dv_rels list to every entry made
+    # reads load empty sidecars and over-count). Bounded by candidate count.
     hit = (
         table.spark.read.parquet(
             *[os.path.join(table.path, r) for r in dv_rels]
         )
-        .groupBy("fname").count().collect()
+        .select("fname", F.col("_metadata.file_path").alias("__dv"))
+        .groupBy("fname")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_set("__dv").alias("dvs"))
+        .collect()
     )
     by_name = {os.path.basename(f.path): f.path for f in candidates}
+    rel_by_base = {os.path.basename(r): r for r in dv_rels}
+    per_file_dvs: dict[str, list[str]] = {}
     for r in hit:
-        per_file_rows[by_name[r["fname"]]] = r["count"]
+        rel = by_name[r["fname"]]
+        per_file_rows[rel] = r["n"]
+        per_file_dvs[rel] = sorted(
+            rel_by_base[os.path.basename(p)] for p in r["dvs"]
+        )
 
     full = table.delete_registry_full(snap)
     entries = dict(full["entries"])
     for rel, n in per_file_rows.items():
         prev = entries.get(rel, {"dvs": [], "rows": 0})
         entries[rel] = {
-            "dvs": list(prev["dvs"]) + dv_rels,
+            "dvs": list(prev["dvs"]) + per_file_dvs[rel],
             "rows": prev["rows"] + n,
         }
     dm = table._write_delete_registry(entries, full["eq"])

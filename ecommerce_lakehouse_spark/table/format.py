@@ -312,6 +312,29 @@ class IcehouseTable:
         with open(os.path.join(self.path, rel)) as f:
             return json.load(f)
 
+    def _dv_positions(self, entry: dict | None, data_rel: str) -> frozenset:
+        """Effective deleted positions a registry entry holds for one data
+        file — the CONTENT the rewrite-race check compares (sidecar paths
+        alone false-conflict after a concurrent DV consolidation). Driver-
+        side pyarrow read of a handful of small sidecars; only runs for
+        entries whose shallow dict compare already differed."""
+        if not entry:
+            return frozenset()
+        import pyarrow.parquet as pq
+
+        fname = os.path.basename(data_rel)
+        pos: set = set()
+        for rel in entry.get("dvs", []):
+            p = os.path.join(self.path, rel)
+            if not os.path.exists(p):
+                # sidecar already swept: contents unknowable — return a
+                # sentinel no other set equals, forcing the conflict path
+                return frozenset({object()})
+            t = pq.read_table(p, columns=["fname", "pos"],
+                              filters=[("fname", "=", fname)])
+            pos.update(t["pos"].to_pylist())
+        return frozenset(pos)
+
     def _write_delete_registry(
         self, entries: dict, eq: list[dict] | None = None
     ) -> str | None:
@@ -732,9 +755,18 @@ class IcehouseTable:
                         base_e = base_delete_registry.get(
                             "entries", base_delete_registry
                         )
+                        # Compare by EFFECTIVE deleted-position content, not
+                        # sidecar path lists: a concurrent
+                        # rewrite_delete_vectors merely consolidates sidecars
+                        # (same positions, new paths) and must not abort
+                        # every in-flight rewrite (ADVICE r03). The shallow
+                        # dict compare short-circuits the common case; only
+                        # genuinely-different entries pay a sidecar read.
                         changed = [
                             rel for rel in removed_paths
                             if entries.get(rel) != base_e.get(rel)
+                            and self._dv_positions(entries.get(rel), rel)
+                            != self._dv_positions(base_e.get(rel), rel)
                         ]
                         if changed:
                             raise CommitConflict(
@@ -743,17 +775,24 @@ class IcehouseTable:
                                 f"them: {sorted(changed)[:3]}... — dropping "
                                 f"their entries would resurrect deleted rows"
                             )
-                        if (
-                            removed_paths
-                            and "entries" in base_delete_registry
-                            and parent_eq != base_delete_registry.get("eq", [])
-                        ):
-                            raise CommitConflict(
-                                f"{operation}: equality deletes changed "
-                                f"after this rewrite read its input — the "
-                                f"rewritten files (higher added_by) would "
-                                f"escape the new deletes"
-                            )
+                        if removed_paths and "entries" in base_delete_registry:
+                            # only NEW equality entries endanger the rewrite
+                            # (its outputs would escape them); retirements
+                            # by a concurrent DV consolidation are safe
+                            base_eq_ids = {
+                                (e["path"], e.get("seq"))
+                                for e in base_delete_registry.get("eq", [])
+                            }
+                            if any(
+                                (e["path"], e.get("seq")) not in base_eq_ids
+                                for e in parent_eq
+                            ):
+                                raise CommitConflict(
+                                    f"{operation}: equality deletes changed "
+                                    f"after this rewrite read its input — the "
+                                    f"rewritten files (higher added_by) would "
+                                    f"escape the new deletes"
+                                )
                     kept_e = {
                         k: v for k, v in entries.items()
                         if k not in removed_paths

@@ -144,9 +144,11 @@ def test_bucketed_merge_result_equals_unbucketed(spark, tmp_path):
 
 
 def test_dsv2_write_onto_bucketed_table_stays_correct(spark, tmp_path):
-    """DSv2-written files carry no bucket tag; merge must still find their
-    rows (untagged files are always kept by routing) — layout degrades
-    gracefully, correctness never does."""
+    """VERDICT r03 #3: DSv2 writes onto a bucketed table are re-staged
+    through the bucket-aware path — every written file carries a __bucket
+    tag and point-merge discovery pruning keeps working."""
+    import os
+
     from ecommerce_lakehouse_spark.sources.datasource import register
 
     register(spark)
@@ -160,13 +162,18 @@ def test_dsv2_write_onto_bucketed_table_stays_correct(spark, tmp_path):
     )
     extra.write.format("icehouse").mode("append").save(str(tmp_path / "pages"))
     assert tbl.scan().count() == 260
-    tagged = [f for f in tbl.live_files() if bucket_of_file(f) is not None]
     untagged = [f for f in tbl.live_files() if bucket_of_file(f) is None]
-    assert tagged and untagged
+    assert untagged == [], "DSv2-written files must carry bucket tags"
+    # the untagged staging originals were cleaned up
+    assert not [n for n in os.listdir(os.path.join(tbl.path, "data"))
+                if n.startswith("dsv2-")]
 
-    # merge touching ONLY dsv2-written keys must update them
+    # merge touching ONLY dsv2-written keys must update them, and bucket
+    # routing must prune discovery below the global candidate set
     victim = tbl.scan().filter(F.col("url").startswith("zzz://dsv2/")).limit(3)
     src = dedup_latest(victim.withColumn("lang", F.lit("qq")), ["url"], "warc_ts")
     res = merge_into(tbl, src, "url")
     assert res.rows_updated == 3
     assert tbl.scan().filter(F.col("lang") == "qq").count() == 3
+    s = tbl.current_snapshot().summary
+    assert s["merge_candidates_scanned"] < s["merge_candidates_global"]

@@ -413,3 +413,120 @@ def test_cas_loser_append_restamps_added_by_past_eq_delete_seq(spark, tbl):
         assert live[f.path].added_by > seq
     # and the freshly appended row is VISIBLE despite the equality delete
     assert tbl.scan().filter(F.col("url") == victim).count() == 1
+
+
+def test_rewrite_converts_eq_deletes_to_positional(spark, tbl):
+    """VERDICT r03 #4: DV maintenance folds live equality deletes into
+    positional sidecars and drops the eq entries in the same commit, so
+    steady-state reads are one anti-join regardless of eq accumulation."""
+    from ecommerce_lakehouse_spark.maintenance import rewrite_delete_vectors
+    from ecommerce_lakehouse_spark.table import delete_by_key
+
+    urls = [r.url for r in tbl.scan().select("url").orderBy("url").limit(6).collect()]
+    delete_by_key(tbl, "url", urls[:3])
+    delete_by_key(tbl, "url", urls[3:])
+    # one key re-inserted AFTER the deletes: must stay visible through the
+    # conversion (its file's added_by exceeds both seqs)
+    revived_rows = tbl.scan(snapshot_id=1).filter(F.col("url") == urls[0]).collect()
+    tbl.append(spark.createDataFrame(revived_rows, tbl.scan().schema))
+    assert len(tbl.eq_deletes()) == 2
+    before = tbl.scan().count()
+    assert before == 495
+
+    snap = rewrite_delete_vectors(tbl)
+    assert snap is not None
+    assert snap.summary["eq_entries_converted"] == 2
+    assert tbl.eq_deletes() == [], "eq entries must drop in the same commit"
+    assert tbl.delete_registry(), "positions must exist after conversion"
+    # results unchanged: still-deleted keys hidden, revived key visible
+    assert tbl.scan().count() == before
+    assert tbl.scan().filter(F.col("url").isin(urls[1:])).count() == 0
+    assert tbl.scan().filter(F.col("url") == urls[0]).count() == 1
+    # the read plan no longer carries per-key-column eq anti-joins: with the
+    # registry holding ONLY positional entries, read_files adds exactly one
+    # anti-join (the DV one)
+    plan = tbl.scan()._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("leftanti") == 1, plan
+
+
+def test_delete_where_registers_only_sidecars_containing_each_file(spark, tmp_path):
+    """ADVICE r03: per-entry dvs must list only sidecar part files that
+    actually hold positions for that data file."""
+    import pyarrow.parquet as pq
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "many"),
+        generate_pages(spark, 400, seed=67, partitions=64),
+    )
+    assert len(tbl.live_files()) >= 64
+    # a broad delete over every file -> the writer emits >= 2 sidecar parts
+    import datetime
+
+    delete_where(tbl, [Predicate("warc_ts", ">", datetime.datetime(2020, 1, 1))])
+    reg = tbl.delete_registry()
+    assert reg
+    all_dvs = {dv for e in reg.values() for dv in e["dvs"]}
+    assert len(all_dvs) >= 2, "need multiple sidecar parts to test membership"
+    held: dict[str, set] = {}
+    for dv in all_dvs:
+        t = pq.read_table(os.path.join(tbl.path, dv), columns=["fname"])
+        held[dv] = set(t["fname"].to_pylist())
+    for rel, e in reg.items():
+        fname = os.path.basename(rel)
+        for dv in e["dvs"]:
+            assert fname in held[dv], f"{rel} lists {dv} which has no positions for it"
+    # and at least one entry references fewer than all sidecars
+    assert any(len(set(e["dvs"])) < len(all_dvs) for e in reg.values())
+
+
+def test_dv_consolidation_does_not_abort_inflight_rewrite(spark, tbl):
+    """ADVICE r03: a concurrent rewrite_delete_vectors that merely
+    consolidated sidecars (identical positions, new paths) must NOT abort an
+    in-flight compaction — content comparison, not path comparison."""
+    from ecommerce_lakehouse_spark.maintenance import rewrite_delete_vectors
+
+    urls = [r.url for r in tbl.scan().select("url").orderBy("url").limit(6).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(urls[:3]))])
+    delete_where(tbl, [Predicate("url", "in", tuple(urls[3:]))])
+
+    # in-flight rewrite pins its base registry and stages its output
+    files = tbl.live_files()
+    base = tbl.delete_registry_full()
+    staged = tbl._stage_dataframe(
+        tbl.read_files(files), None, snapshot_id=tbl.current_version() + 1
+    )
+    # concurrent DV consolidation lands first (same positions, new sidecars)
+    assert rewrite_delete_vectors(tbl, convert_eq=False) is not None
+
+    snap = tbl.replace_files(
+        [f.path for f in files], None, operation="compact",
+        precomputed_added=staged, base_delete_registry=base,
+    )
+    assert snap is not None
+    assert tbl.scan().count() == 494
+    assert tbl.scan().filter(F.col("url").isin(urls)).count() == 0
+
+
+def test_new_delete_still_aborts_inflight_rewrite_after_consolidation(spark, tbl):
+    """Content comparison must still catch REAL new deletes on rewritten
+    files, even when a consolidation also happened."""
+    from ecommerce_lakehouse_spark.maintenance import rewrite_delete_vectors
+    from ecommerce_lakehouse_spark.table.format import CommitConflict
+
+    urls = [r.url for r in tbl.scan().select("url").orderBy("url").limit(4).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(urls[:2]))])
+
+    files = tbl.live_files()
+    base = tbl.delete_registry_full()
+    staged = tbl._stage_dataframe(
+        tbl.read_files(files), None, snapshot_id=tbl.current_version() + 1
+    )
+    assert rewrite_delete_vectors(tbl, convert_eq=False, min_dv_files=1) is not None
+    # a REAL new delete lands on the input files after the rewrite read them
+    delete_where(tbl, [Predicate("url", "in", tuple(urls[2:]))])
+
+    with pytest.raises(CommitConflict, match="delete vectors landed"):
+        tbl.replace_files(
+            [f.path for f in files], None, operation="compact",
+            precomputed_added=staged, base_delete_registry=base,
+        )

@@ -285,3 +285,31 @@ def test_interval_routing_cuts_discovery_on_clustered_table(spark, tmp_path):
     )
     assert tbl.scan().filter(F.col("text").startswith("rev9 ")).count() == len(band)
     assert tbl.scan().count() == 2000
+
+
+def test_composite_key_merge_routes_on_leading_key(spark, tmp_path):
+    """VERDICT r03 #5: a two-column merge key (url + warc_ts, the SCD2-style
+    fact merge) must still get interval routing on the LEADING key —
+    superset-safe since a match requires equality on every key column."""
+    df = generate_pages(spark, 2000, seed=26, partitions=4)
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "pages"), df.repartitionByRange(13, "url")
+    )
+    assert len(tbl.live_files()) >= 10
+
+    urls = sorted(r.url for r in tbl.scan().select("url").collect())
+    band = urls[40:60] + urls[-60:-40]
+    delta = (
+        tbl.scan().filter(F.col("url").isin(band))
+        .withColumn("text", F.concat(F.lit("rev7 "), F.col("text")))
+    )
+    res = merge_into(tbl, delta, ["url", "warc_ts"])
+    assert res.rows_updated == len(band)
+    assert res.rows_inserted == 0
+    s = tbl.current_snapshot().summary
+    assert s["merge_candidates_scanned"] < s["merge_candidates_global"], (
+        f"leading-key routing should cut discovery: "
+        f"{s['merge_candidates_scanned']} vs {s['merge_candidates_global']}"
+    )
+    assert tbl.scan().filter(F.col("text").startswith("rev7 ")).count() == len(band)
+    assert tbl.scan().count() == 2000
