@@ -129,7 +129,7 @@ class IcehouseReader(DataSourceReader):
         eq = table.eq_deletes(snap)
         import os
 
-        return [
+        parts = [
             IcehouseFilePartition(
                 os.path.join(table.path, f.path),
                 [os.path.join(table.path, dv)
@@ -139,6 +139,9 @@ class IcehouseReader(DataSourceReader):
             )
             for f in files
         ]
+        # stats can legitimately prune EVERY file; Spark then invokes read()
+        # with a None partition, so hand it an explicit empty sentinel
+        return parts or [IcehouseFilePartition(None)]
 
     # -- execution (executor side, Arrow-batched) ---------------------------
 
@@ -152,6 +155,13 @@ class IcehouseReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         want = to_arrow_schema(self._schema)
+        if partition is None or partition.path is None:
+            # every file was stats-pruned: an empty result, typed correctly
+            yield from pa.table(
+                {f.name: pa.nulls(0, type=f.type) for f in want},
+                schema=want,
+            ).to_batches()
+            return
         tbl = pq.read_table(
             partition.path,
             columns=[n for n in want.names if n in set(

@@ -195,3 +195,72 @@ def test_dsv2_prunes_on_extra_clustered_axis(spark, tmp_path):
     )
     want = tbl.scan().filter(F.col("lang") == rare).count()
     assert got == want > 0
+
+
+def test_dsv2_two_axis_conjunction_prunes_more_than_either_axis(spark, tmp_path):
+    """VERDICT r03 #6: a lang+ts conjunction after k-dim clustering must
+    prune partitions() on BOTH axes' stats — strictly tighter than either
+    single-axis filter — with results matching the native scan."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from ecommerce_lakehouse_spark.datagen import generate_pages
+    from ecommerce_lakehouse_spark.maintenance.zorder import zorder_by
+    from ecommerce_lakehouse_spark.sources.datasource import IcehouseReader, register
+    from ecommerce_lakehouse_spark.table import IcehouseTable
+
+    df = generate_pages(spark, 2000, seed=98, partitions=4)
+    tbl = IcehouseTable.create(spark, str(tmp_path / "pages"), df)
+    total = sum(f.size_bytes for f in tbl.live_files())
+    zorder_by(tbl, curve="hilbert", extra_cols=["lang"],
+              target_file_bytes=max(1, total // 16))
+    rare = (
+        tbl.scan().groupBy("lang").count().orderBy("count", "lang").first()["lang"]
+    )
+    cut = datetime.datetime(2023, 12, 5)
+
+    def n_parts(filters):
+        r = IcehouseReader({"path": tbl.path}, tbl.schema())
+        if filters:
+            r.pushFilters(filters)
+        return len(r.partitions())
+
+    n_all = n_parts([])
+    n_lang = n_parts([EqualTo(("lang",), rare)])
+    n_ts = n_parts([GreaterThan(("warc_ts",), cut)])
+    n_both = n_parts([EqualTo(("lang",), rare), GreaterThan(("warc_ts",), cut)])
+    assert n_lang < n_all and n_ts < n_all, (n_all, n_lang, n_ts)
+    assert n_both <= min(n_lang, n_ts), (n_both, n_lang, n_ts)
+    assert n_both < max(n_lang, n_ts), "conjunction must out-prune one axis"
+
+    register(spark)
+    cond = (F.col("lang") == rare) & (F.col("warc_ts") > cut)
+    got = spark.read.format("icehouse").load(tbl.path).filter(cond).count()
+    want = tbl.scan().filter(cond).count()
+    assert got == want > 0
+
+
+def test_dsv2_handles_all_files_pruned(spark, tmp_path):
+    """A predicate no file can satisfy prunes the whole partition list;
+    the reader must return a typed empty result, not crash on a None
+    partition (found via probe: Spark hands read() None for an empty
+    partitions() list)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_lakehouse_spark.datagen import generate_pages
+    from ecommerce_lakehouse_spark.sources.datasource import register
+    from ecommerce_lakehouse_spark.table import IcehouseTable
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "pages"),
+        generate_pages(spark, 300, seed=3, partitions=2),
+    )
+    register(spark)
+    got = (
+        spark.read.format("icehouse").load(tbl.path)
+        .filter(F.col("lang") == "zz")  # > every max stat -> prunes all files
+    )
+    assert got.count() == 0
+    assert got.columns == [f.name for f in tbl.schema().fields]
