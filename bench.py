@@ -225,6 +225,21 @@ def main() -> None:
             "added_bytes"
         ]
 
+        # delete-stack upkeep (round 4): one eq delete on top of the stacked
+        # DVs, then rewrite_delete_vectors consolidates sidecars AND folds
+        # the eq entry into positional form (key-column-only scan)
+        from ecommerce_lakehouse_spark.maintenance import rewrite_delete_vectors
+        from ecommerce_lakehouse_spark.table import delete_by_key
+
+        eq_victims = [u for u in all_urls[7::983][:4] if u not in dv_victims]
+        delete_by_key(tbl, "url", eq_victims)
+        t0 = time.time()
+        rdsnap = rewrite_delete_vectors(tbl, min_dv_files=1)
+        maint["dv_rewrite_convert_sec"] = round(time.time() - t0, 3)
+        maint["eq_entries_converted"] = (
+            rdsnap.summary.get("eq_entries_converted", 0) if rdsnap else 0
+        )
+
         t0 = time.time()
         rewrite_manifests(tbl)
         expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)

@@ -36,7 +36,11 @@ class MaintenanceLoop:
         cluster: bool = False,
         curve: str = "morton",
         url_coord: str = "hash",
+        maintain_deletes: bool = True,
+        min_dv_files: int = 4,
     ):
+        self.maintain_deletes = maintain_deletes
+        self.min_dv_files = min_dv_files
         self.table = table
         self.target_file_bytes = target_file_bytes
         self.min_bin_files = min_bin_files
@@ -94,6 +98,20 @@ class MaintenanceLoop:
                 scope="incremental",
             )
             out["clustered"] = csnap is not None
+        dsnap = None
+        if self.maintain_deletes:
+            # delete-stack upkeep rides the same cadence: consolidate DV
+            # sidecars once they pile up and fold equality deletes into
+            # positional form so steady-state reads stay one anti-join
+            from .rewrite_deletes import rewrite_delete_vectors
+
+            full = self.table.delete_registry_full()
+            n_dvs = len({dv for e in full["entries"].values() for dv in e["dvs"]})
+            if n_dvs >= self.min_dv_files or full["eq"]:
+                dsnap = rewrite_delete_vectors(
+                    self.table, min_dv_files=self.min_dv_files
+                )
+                out["deletes_rewritten"] = dsnap is not None
         # mark AFTER the work commits: a crash before this line re-runs the
         # cycle, and the deterministic compact job id + ledger make that
         # re-run adopt staged bins instead of redoing them. Advance only past
@@ -102,7 +120,8 @@ class MaintenanceLoop:
         # concurrent writer the loop's own commit ids can exceed this mark,
         # costing at most one extra no-op cycle (liveness, never a swallow).
         own_commits = sum(
-            1 for s in (snap, csnap if self.cluster else None) if s is not None
+            1 for s in (snap, csnap if self.cluster else None, dsnap)
+            if s is not None
         )
         self._mark_processed(observed + own_commits)
         return out

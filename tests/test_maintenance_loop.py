@@ -120,3 +120,39 @@ def test_loop_resumes_after_mid_compaction_crash(spark, tmp_path, monkeypatch):
     jobs = [d for d in os.listdir(os.path.join(tbl.path, "ledger"))
             if d.startswith("compact-")]
     assert jobs
+
+
+def test_loop_maintains_delete_stack(spark, tmp_path):
+    """Round 4: the loop also runs DV maintenance — stacked point deletes
+    consolidate and equality deletes convert to positional form, with the
+    scan unchanged and writer commits racing in still pending."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_lakehouse_spark.table import Predicate, delete_by_key, delete_where
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "pages"),
+        generate_pages(spark, 400, seed=140, partitions=4),
+    )
+    urls = [r.url for r in tbl.scan().select("url").orderBy("url").limit(12).collect()]
+    for chunk in (urls[:3], urls[3:6], urls[6:8]):
+        delete_where(tbl, [Predicate("url", "in", tuple(chunk))])
+    delete_by_key(tbl, "url", urls[8:12])
+    assert len(tbl.eq_deletes()) == 1
+    before = _table_rows(tbl)
+    assert len(before) == 388
+
+    loop = MaintenanceLoop(tbl, target_file_bytes=1 << 30, min_dv_files=2)
+    out = loop.run_once()
+    assert out["ran"] and out.get("deletes_rewritten")
+    assert tbl.eq_deletes() == [], "eq deletes must convert to positional"
+    reg = tbl.delete_registry()
+    assert len({dv for e in reg.values() for dv in e["dvs"]}) <= 2
+    assert _table_rows(tbl) == before
+    assert tbl.scan().filter(F.col("url").isin(urls)).count() == 0
+
+    # watermark accounting: the loop's own commits don't retrigger work,
+    # and a writer commit after the cycle makes it pending again
+    assert not loop.pending() or loop.run_once().get("deletes_rewritten") is None
+    tbl.append(generate_pages(spark, 10, seed=141, partitions=1))
+    assert loop.pending()
