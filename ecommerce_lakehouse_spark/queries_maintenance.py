@@ -259,10 +259,35 @@ WHERE url NOT IN (SELECT url FROM victims)
 """
 
 
+def m_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan: create (exp_a) → append (exp_b) → compact
+    (content-neutral, skipped) → ``changes(1)`` must emit exactly the
+    appended batch — the O(new data) consumption path for a 10^12-doc
+    table."""
+    from .maintenance import compact
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(spark, f"{d}/t", _read_fixture(spark, "exp_a", 3))
+        tbl.append(_read_fixture(spark, "exp_b", 2))
+        compact(tbl, target_file_bytes=8 * 1024 * 1024)
+        return _pages_out(tbl.changes(1)).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_INCREMENTAL_CHANGES = f"""
+SELECT {_PAGES_PROJ}
+FROM read_parquet('{fixture_path("exp_b")}')
+"""
+
+
 MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
     "m_scd2_history_pages": (m_scd2_history_pages, SQL_M_SCD2_HISTORY),
     "m_snapshot_expire": (m_snapshot_expire, SQL_M_SNAPSHOT_EXPIRE),
     "m_delete_vectors_pages": (m_delete_vectors_pages, SQL_M_DELETE_VECTORS),
+    "m_incremental_changes": (m_incremental_changes, SQL_M_INCREMENTAL_CHANGES),
 }

@@ -1010,6 +1010,81 @@ class IcehouseTable:
         snap = self._resolve_snapshot(snapshot_id)
         return prune_files(self.live_files(snap), self._stats_predicates(predicates))
 
+    # append snapshots emit rows; these rewrite bytes but preserve the
+    # logical row set, so an incremental consumer can skip them
+    _CONTENT_NEUTRAL_OPS = ("compact", "cluster-", "rewrite-manifests",
+                            "rewrite-deletes")
+
+    def changes(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg-style incremental read): the rows
+        APPENDED after ``from_snapshot_id`` up to and including
+        ``to_snapshot_id`` (default: current). This is what lets a
+        downstream pipeline consume a 10^12-doc table incrementally — read
+        O(new data) per run instead of re-scanning the table.
+
+        Only appends emit rows. Content-neutral rewrites in the range
+        (compaction, clustering, manifest/DV maintenance) are skipped —
+        they move bytes, not rows. A snapshot that CHANGES the logical row
+        set (merge, overwrite, delete) makes the range inexpressible as
+        inserts-only and raises; consumers should read those via full
+        scans at the boundary snapshots. Deletes committed AT OR BEFORE
+        ``to`` still mask emitted rows (read_files applies ``to``'s
+        registry), so a consumer never sees rows that were already dead at
+        its read point.
+        """
+        to_snap = self._resolve_snapshot(to_snapshot_id)
+        if to_snap is None:
+            return self.spark.createDataFrame([], self.schema())
+        if from_snapshot_id > to_snap.snapshot_id:
+            raise ValueError(
+                f"changes(): from={from_snapshot_id} is newer than "
+                f"to={to_snap.snapshot_id}"
+            )
+        in_range = [
+            s for s in self.snapshots()
+            if from_snapshot_id < s.snapshot_id <= to_snap.snapshot_id
+        ]
+        added: list[DataFile] = []
+        for s in sorted(in_range, key=lambda s: s.snapshot_id):
+            if s.operation == "append":
+                added += [
+                    f
+                    for e in self.manifest_entries_of(s)
+                    for f in self._read_manifest(e["path"])
+                    if f.added_by == s.snapshot_id
+                ]
+            elif s.operation.startswith(self._CONTENT_NEUTRAL_OPS):
+                continue
+            else:
+                raise ValueError(
+                    f"changes(): snapshot {s.snapshot_id} is a "
+                    f"{s.operation!r} — the range is not append-only; scan "
+                    f"the boundary snapshots instead"
+                )
+        return self.read_files(added, snapshot=to_snap)
+
+    def row_count(self, snapshot_id: int | None = None) -> int:
+        """COUNT(*) from metadata alone when possible: manifest row totals
+        minus registered positional-delete rows — zero data read on a
+        100-TB table. Falls back to a counting scan only when equality
+        deletes are live (their matched-row count is unknown without a
+        scan) — and those retire/convert at the next DV maintenance run."""
+        snap = self._resolve_snapshot(snapshot_id)
+        if snap is None:
+            return 0
+        full = self.delete_registry_full(snap)
+        if full["eq"]:
+            return self.scan(snapshot_id=snapshot_id).count()
+        total = sum(
+            e.get("n_rows", 0) for e in self.manifest_entries_of(snap)
+        )
+        dead = sum(e["rows"] for e in full["entries"].values())
+        return total - dead
+
     def _resolve_snapshot(self, snapshot_id: int | None) -> Snapshot | None:
         if snapshot_id is None:
             return self.current_snapshot()

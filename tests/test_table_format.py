@@ -168,3 +168,67 @@ def test_hot_prefix_skew_exists(spark):
         .first()
     )
     assert top["count"] > 2000 * 0.15, "domain skew is required for salting tests"
+
+
+def test_changes_incremental_append_scan(spark, tmp_path):
+    """changes(from, to): appended rows only; content-neutral rewrites are
+    skipped; row-set-changing snapshots raise; deletes at the read point
+    mask emitted rows."""
+    import pytest as _pytest
+
+    from ecommerce_lakehouse_spark.maintenance import compact
+    from ecommerce_lakehouse_spark.operators.merge import merge_into
+    from ecommerce_lakehouse_spark.table import Predicate, delete_where
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 200, seed=31, partitions=2),
+    )
+    tbl.append(generate_pages(spark, 50, seed=32, partitions=1))   # snap 2
+    compact(tbl, target_file_bytes=1 << 30)                        # snap 3
+    tbl.append(generate_pages(spark, 30, seed=33, partitions=1))   # snap 4
+
+    got = {r.url for r in tbl.changes(1).select("url").collect()}
+    want = {r.url for r in generate_pages(spark, 50, seed=32, partitions=1)
+            .unionByName(generate_pages(spark, 30, seed=33, partitions=1))
+            .select("url").collect()}
+    assert got == want
+    assert tbl.changes(3).count() == 30
+    assert tbl.changes(1, 2).count() == 50
+    assert tbl.changes(4).count() == 0
+
+    # a delete at the read point masks emitted rows
+    victim = sorted(got)[0]
+    delete_where(tbl, [Predicate("url", "=", victim)])             # snap 5
+    with _pytest.raises(ValueError, match="not append-only"):
+        tbl.changes(1)  # delete in range -> inexpressible
+    assert tbl.changes(1, 4).count() == 80, "bounded range still works"
+
+    # merge in range raises too
+    src = tbl.scan().orderBy("url").limit(1)
+    merge_into(tbl, src, "url")                                    # snap 6
+    with _pytest.raises(ValueError, match="not append-only"):
+        tbl.changes(4)
+
+
+def test_row_count_from_metadata_only(spark, tmp_path):
+    from ecommerce_lakehouse_spark.maintenance import rewrite_delete_vectors
+    from ecommerce_lakehouse_spark.table import Predicate, delete_by_key, delete_where
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 300, seed=41, partitions=3),
+    )
+    assert tbl.row_count() == 300
+    urls = [r.url for r in tbl.scan().select("url").orderBy("url").limit(7).collect()]
+    delete_where(tbl, [Predicate("url", "in", tuple(urls[:5]))])
+    assert tbl.row_count() == 295  # metadata-only: manifests minus DV rows
+    # live equality deletes force the counting-scan fallback
+    delete_by_key(tbl, "url", urls[5:])
+    assert tbl.row_count() == 293
+    # conversion restores the metadata-only path
+    rewrite_delete_vectors(tbl, min_dv_files=1)
+    assert tbl.eq_deletes() == []
+    assert tbl.row_count() == 293 == tbl.scan().count()
+    # time travel counts
+    assert tbl.row_count(snapshot_id=1) == 300
