@@ -62,6 +62,13 @@ def expire_snapshots(
         retained = [
             s for s in snaps if s.timestamp_ms >= older_than_ms or s in retained
         ]
+    # tagged snapshots are pinned: a named ref (create_tag) means someone
+    # depends on that exact row set — expiry never sweeps it
+    tagged_ids = set(table.refs().values())
+    retained = [
+        s for s in snaps
+        if s.snapshot_id in tagged_ids or s in retained
+    ]
     retained_ids = {s.snapshot_id for s in retained}
     cur = md["current_snapshot_id"]
     if cur is not None and cur not in retained_ids:

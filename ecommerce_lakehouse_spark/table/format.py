@@ -635,7 +635,12 @@ class IcehouseTable:
                 if schema_json is not None:
                     md["schema"] = schema_json
                 if properties:
-                    md["properties"] = {**md.get("properties", {}), **properties}
+                    # a None value is a tombstone: the property is REMOVED
+                    # (drop_tag needs true deletion, not an overwrite)
+                    merged = {**md.get("properties", {}), **properties}
+                    md["properties"] = {
+                        k: v for k, v in merged.items() if v is not None
+                    }
 
             remaining = set(removed_paths)
             new_entries: list[dict] = []
@@ -1010,10 +1015,51 @@ class IcehouseTable:
         snap = self._resolve_snapshot(snapshot_id)
         return prune_files(self.live_files(snap), self._stats_predicates(predicates))
 
-    # append snapshots emit rows; these rewrite bytes but preserve the
-    # logical row set, so an incremental consumer can skip them
+    # append snapshots emit rows; these rewrite bytes (or touch metadata
+    # only) but preserve the logical row set, so an incremental consumer
+    # can skip them
     _CONTENT_NEUTRAL_OPS = ("compact", "cluster-", "rewrite-manifests",
-                            "rewrite-deletes")
+                            "rewrite-deletes", "set-ref")
+
+    # ------------------------------------------------------------- refs
+
+    REF_PROP = "ref."
+
+    def refs(self) -> dict[str, int]:
+        """Named snapshot references (tags): {name: snapshot_id}."""
+        return {
+            k[len(self.REF_PROP):]: int(v)
+            for k, v in self.properties().items()
+            if k.startswith(self.REF_PROP)
+        }
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> Snapshot:
+        """Pin a snapshot under a name (Iceberg tag): scans can address it
+        (``scan(snapshot_id="name")``) and :func:`expire_snapshots` retains
+        it — the audit/reproducibility primitive (train a model against
+        ``tag("train-2024-07")`` and the exact row set survives VACUUM).
+
+        The tag rides an ordinary CAS property commit, so concurrent
+        taggers serialize and time travel sees when each ref was set."""
+        if not name or "." in name or "/" in name:
+            raise ValueError(f"invalid tag name {name!r}")
+        snap = self._resolve_snapshot(snapshot_id)
+        if snap is None:
+            raise ValueError("cannot tag an empty table")
+        return self._commit(
+            "set-ref", [], set(),
+            properties={f"{self.REF_PROP}{name}": snap.snapshot_id},
+            extra_summary={"ref": name, "ref_snapshot_id": snap.snapshot_id},
+        )
+
+    def drop_tag(self, name: str) -> Snapshot:
+        if name not in self.refs():
+            raise ValueError(f"unknown tag {name!r}")
+        return self._commit(
+            "set-ref", [], set(),
+            properties={f"{self.REF_PROP}{name}": None},  # tombstone
+            extra_summary={"ref_dropped": name},
+        )
 
     def changes(
         self,
@@ -1085,9 +1131,14 @@ class IcehouseTable:
         dead = sum(e["rows"] for e in full["entries"].values())
         return total - dead
 
-    def _resolve_snapshot(self, snapshot_id: int | None) -> Snapshot | None:
+    def _resolve_snapshot(self, snapshot_id: int | str | None) -> Snapshot | None:
         if snapshot_id is None:
             return self.current_snapshot()
+        if isinstance(snapshot_id, str):  # a tag name
+            tagged = self.refs().get(snapshot_id)
+            if tagged is None:
+                raise ValueError(f"unknown tag {snapshot_id!r}")
+            snapshot_id = tagged
         for s in self.snapshots():
             if s.snapshot_id == snapshot_id:
                 return s

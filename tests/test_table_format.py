@@ -232,3 +232,40 @@ def test_row_count_from_metadata_only(spark, tmp_path):
     assert tbl.row_count() == 293 == tbl.scan().count()
     # time travel counts
     assert tbl.row_count(snapshot_id=1) == 300
+
+
+def test_snapshot_tags_pin_scans_and_survive_expiry(spark, tmp_path):
+    """create_tag pins a named snapshot: scans address it by name, expiry
+    retains it (and its files), drop_tag releases it; changes() treats the
+    ref commit as content-neutral."""
+    from ecommerce_lakehouse_spark.maintenance import compact, expire_snapshots
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 200, seed=55, partitions=2),
+    )
+    tbl.create_tag("train-v1")                                  # pins snap 1
+    tbl.append(generate_pages(spark, 40, seed=56, partitions=1))
+    compact(tbl, target_file_bytes=1 << 30)
+    assert tbl.refs() == {"train-v1": 1}
+    assert tbl.scan(snapshot_id="train-v1").count() == 200
+    assert tbl.scan().count() == 240
+
+    # the ref commit is neutral for incremental consumers
+    assert tbl.changes(1).count() == 40
+
+    expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)
+    # tagged snapshot AND its files survived the sweep
+    assert tbl.scan(snapshot_id="train-v1").count() == 200
+    assert tbl.scan().count() == 240
+
+    tbl.drop_tag("train-v1")
+    assert tbl.refs() == {}
+    expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown tag"):
+        tbl.scan(snapshot_id="train-v1")
+    assert tbl.scan().count() == 240
+
+    with _pytest.raises(ValueError, match="invalid tag name"):
+        tbl.create_tag("bad.name")
