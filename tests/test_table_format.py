@@ -269,3 +269,34 @@ def test_snapshot_tags_pin_scans_and_survive_expiry(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="invalid tag name"):
         tbl.create_tag("bad.name")
+
+
+def test_history_dataframe(spark, pages_table):
+    pages_table.append(generate_pages(spark, 10, seed=3, partitions=1))
+    h = pages_table.history().orderBy("snapshot_id").collect()
+    assert [r.operation for r in h][:2] == ["append", "append"]
+    assert h[0].parent_id is None and h[1].parent_id == h[0].snapshot_id
+    assert h[-1].total_rows == pages_table.scan().count()
+
+
+def test_bloom_cols_property_embeds_parquet_bloom_filters(spark, tmp_path):
+    """bloom.cols writes row-group bloom filters through the JVM parquet
+    writer (adaptive sizing): a small bounded size footprint on identical
+    content, results unchanged."""
+    df = generate_pages(spark, 2000, seed=71, partitions=1)
+    plain = IcehouseTable.create(spark, str(tmp_path / "plain"), df)
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "bloom"), df,
+        properties={"bloom.cols": "url"},
+    )
+    plain_bytes = sum(f.size_bytes for f in plain.live_files())
+    bloom_bytes = sum(f.size_bytes for f in tbl.live_files())
+    # adaptive bloom adds a small, bounded footprint (measured ~7% here;
+    # neither pyarrow nor duckdb expose the footer bloom offset to assert
+    # on directly). Identical content otherwise, so the delta IS the bloom.
+    assert plain_bytes * 1.02 < bloom_bytes < plain_bytes * 1.25, (
+        plain_bytes, bloom_bytes,
+    )
+    assert tbl.scan().count() == 2000
+    one = tbl.scan().select("url").orderBy("url").first().url
+    assert tbl.scan([Predicate("url", "=", one)]).count() == 1
