@@ -42,6 +42,7 @@ def expire_snapshots(
     older_than_ms: int | None = None,
     clean_orphans: bool = True,
     orphan_grace_ms: int = 3_600_000,
+    keep_metadata_versions: int = 100,
 ) -> ExpireResult:
     """Expire all but the newest ``keep_last`` snapshots (and, if given, any
     snapshot newer than ``older_than_ms`` survives regardless).
@@ -154,9 +155,31 @@ def expire_snapshots(
         grace = max(orphan_grace_ms, MIN_ORPHAN_GRACE_MS)
         _sweep_orphans(table, live_data, time.time() * 1000 - grace)
 
+    trim_metadata_log(table, keep_versions=keep_metadata_versions)
+
     return ExpireResult(
         [s.snapshot_id for s in expired], deleted_data, deleted_manifests, freed
     )
+
+
+def trim_metadata_log(table: IcehouseTable, keep_versions: int = 100) -> int:
+    """Delete metadata version files older than ``current - keep_versions``
+    (Iceberg's write.metadata.delete-after-commit). Each v{N} file embeds
+    the full snapshot list, so an unbounded log costs O(commits²) metadata
+    bytes on a commit-heavy table. Old files are pure history: commits CAS
+    on current+1, readers resolve time travel through the CURRENT file's
+    snapshot list, and rebase loads only the current version — deleting
+    them changes no behavior. Returns the number removed."""
+    if keep_versions < 1:
+        raise ValueError("must keep at least the current metadata version")
+    floor = table.current_version() - keep_versions
+    removed = 0
+    for v in range(1, floor + 1):
+        p = table._version_file(v)
+        if os.path.exists(p):
+            os.unlink(p)
+            removed += 1
+    return removed
 
 
 def _ledger_protected_paths(table: IcehouseTable) -> set[str]:

@@ -443,3 +443,36 @@ def test_zorder_hilbert_k3_roundtrip(spark, tmp_path):
                      target_file_bytes=1 << 18)
     assert snap is not None and snap.operation == "cluster-hilbert"
     assert tbl.scan().count() == n
+
+
+def test_expire_trims_metadata_log(spark, tmp_path):
+    """Old v{N}.metadata.json files are pure history (commits CAS on
+    current+1; time travel resolves through the CURRENT snapshot list) —
+    expiry trims the log so a commit-heavy table doesn't pay O(commits^2)
+    metadata bytes."""
+    import os
+
+    from ecommerce_lakehouse_spark.maintenance import expire_snapshots
+    from ecommerce_lakehouse_spark.table import IcehouseTable
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 50, seed=81, partitions=1),
+    )
+    for i in range(7):
+        tbl.append(generate_pages(spark, 10, seed=90 + i, partitions=1))
+    assert tbl.current_version() == 8
+
+    expire_snapshots(tbl, keep_last=2, orphan_grace_ms=0,
+                     keep_metadata_versions=3)
+    left = sorted(
+        f for f in os.listdir(tbl.meta_dir) if f.endswith(".metadata.json")
+    )
+    # expire itself committed v9; versions <= 9-3 are gone
+    assert left == [f"v{v:010d}.metadata.json" for v in (7, 8, 9)]
+    # the table still reads, time-travels within retained, and commits
+    assert tbl.scan().count() == 120
+    pre = tbl.current_snapshot().snapshot_id
+    assert tbl.scan(snapshot_id=pre).count() == 120
+    tbl.append(generate_pages(spark, 5, seed=99, partitions=1))
+    assert tbl.scan().count() == 125
