@@ -58,19 +58,33 @@ def expire_snapshots(
     if keep_last < 1:
         raise ValueError("must retain at least the current snapshot")
 
-    retained = snaps[-keep_last:]
+    # keep_last counts along the PUBLISHED lineage (parent chain from
+    # current) — staged write-audit-publish snapshots sit OUTSIDE it and
+    # must neither displace published history nor be swept while a publish
+    # decision is pending (they expire only via older_than_ms)
+    by_id = {s.snapshot_id: s for s in snaps}
+    chain: list[Snapshot] = []  # newest-first published lineage
+    cur_s = by_id.get(md.get("current_snapshot_id"))
+    while cur_s is not None:
+        chain.append(cur_s)
+        cur_s = by_id.get(cur_s.parent_id) if cur_s.parent_id is not None else None
+    chain_ids = {s.snapshot_id for s in chain}
+    staged = [s for s in snaps if s.snapshot_id not in chain_ids]
+
+    retained_ids = {s.snapshot_id for s in chain[:keep_last]}
     if older_than_ms is not None:
-        retained = [
-            s for s in snaps if s.timestamp_ms >= older_than_ms or s in retained
-        ]
+        # any snapshot newer than the cutoff survives; staged snapshots
+        # older than it are abandoned audits and get swept
+        retained_ids |= {
+            s.snapshot_id for s in snaps if s.timestamp_ms >= older_than_ms
+        }
+    else:
+        # no age cutoff: staged snapshots stay pending-publish
+        retained_ids |= {s.snapshot_id for s in staged}
     # tagged snapshots are pinned: a named ref (create_tag) means someone
     # depends on that exact row set — expiry never sweeps it
-    tagged_ids = set(table.refs().values())
-    retained = [
-        s for s in snaps
-        if s.snapshot_id in tagged_ids or s in retained
-    ]
-    retained_ids = {s.snapshot_id for s in retained}
+    retained_ids |= set(table.refs().values()) & set(by_id)
+    retained = [s for s in snaps if s.snapshot_id in retained_ids]
     cur = md["current_snapshot_id"]
     if cur is not None and cur not in retained_ids:
         raise ValueError("cannot expire the current snapshot")

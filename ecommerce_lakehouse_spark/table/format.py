@@ -629,6 +629,7 @@ class IcehouseTable:
         delete_manifest: str | None = _INHERIT_DELETES,
         base_delete_registry: dict | None = None,
         base_delete_manifest: str | None = "__unchecked__",
+        publish: bool = True,
     ) -> Snapshot | None:
         """Optimistic commit with rebase-and-retry.
 
@@ -644,8 +645,15 @@ class IcehouseTable:
         check re-runs inside the CAS retry loop, so a concurrent replay
         cannot slip through.
         """
+        if not publish and (removed_paths or delete_manifest != self._INHERIT_DELETES):
+            raise ValueError(
+                "staged (publish=False) commits support pure appends only — "
+                "removals/deletes rebase against a published current"
+            )
         for _attempt in range(max_retries):
             version = self.current_version()
+            if not publish and version == 0:
+                raise ValueError("cannot stage against an empty table")
             if txn is not None and version > 0:
                 prev = self.load_metadata(version).get("properties", {}).get(
                     f"txn.{txn[0]}"
@@ -873,7 +881,11 @@ class IcehouseTable:
                 delete_manifest=child_dm,
             )
             md["snapshots"] = md.get("snapshots", []) + [snap_obj.to_json()]
-            md["current_snapshot_id"] = snapshot_id
+            if publish:
+                md["current_snapshot_id"] = snapshot_id
+            # else: STAGED commit (write-audit-publish) — the snapshot exists
+            # and is scan-addressable by id, but readers of the table keep
+            # seeing the old current until publish_snapshot()/cherry_pick()
             if self._try_publish(version + 1, md):
                 return snap_obj
             time.sleep(0.01 * (_attempt + 1))
@@ -956,12 +968,17 @@ class IcehouseTable:
     def append(self, df: DataFrame, stats_cols: list[str] | None = None,
                target_partitions: int | None = None,
                txn: tuple[str, int] | None = None,
-               merge_schema: bool = False) -> Snapshot | None:
+               merge_schema: bool = False,
+               publish: bool = True) -> Snapshot | None:
         """Atomic append. ``txn=(app_id, version)`` deduplicates replays of
         the same (stream, batch) — see _commit. Returns None when skipped.
         ``merge_schema=True`` lets the batch ADD nullable columns: the table
         schema widens in the SAME commit (reconcile_schema); files from
-        before the widening read back with NULLs for the new columns."""
+        before the widening read back with NULLs for the new columns.
+        ``publish=False`` STAGES the append (write-audit-publish): the
+        snapshot commits and is scan-addressable by id for auditing, but
+        the table's current pointer moves only at
+        :meth:`publish_snapshot` / :meth:`cherry_pick`."""
         if txn is not None:
             last = self.last_txn_version(txn[0])
             if last is not None and last >= txn[1]:
@@ -977,6 +994,58 @@ class IcehouseTable:
             "append", added, set(),
             schema_json=widened.jsonValue() if widened is not None else None,
             txn=txn,
+            publish=publish,
+        )
+
+    def publish_snapshot(self, snapshot_id: int) -> Snapshot:
+        """Fast-forward the table's current pointer to a STAGED snapshot
+        (the publish step of write-audit-publish). Only valid while current
+        still equals the staged snapshot's parent — if other commits landed
+        since staging, use :meth:`cherry_pick` to re-apply the staged
+        appends on the new current instead."""
+        for _attempt in range(10):
+            version = self.current_version()
+            md = self.load_metadata(version)
+            snap = next(
+                (s for s in md["snapshots"] if s["snapshot_id"] == snapshot_id),
+                None,
+            )
+            if snap is None:
+                raise ValueError(f"unknown snapshot {snapshot_id}")
+            cur = md.get("current_snapshot_id")
+            if cur == snapshot_id:
+                return Snapshot.from_json(snap)  # already published
+            if snap.get("parent_id") != cur:
+                raise CommitConflict(
+                    f"publish: current moved to {cur} since snapshot "
+                    f"{snapshot_id} was staged on {snap.get('parent_id')} — "
+                    f"cherry_pick it instead"
+                )
+            md["current_snapshot_id"] = snapshot_id
+            if self._try_publish(version + 1, md):
+                return Snapshot.from_json(snap)
+            time.sleep(0.01 * (_attempt + 1))
+        raise CommitConflict("publish: lost commit race repeatedly")
+
+    def cherry_pick(self, snapshot_id: int) -> Snapshot:
+        """Re-apply a STAGED append's files on top of the CURRENT snapshot
+        (Iceberg's cherrypick_snapshot): used when other commits landed
+        after staging, so a fast-forward publish is no longer possible.
+        The staged files are reused as-is — no data is rewritten."""
+        staged = self._resolve_snapshot(snapshot_id)
+        if staged.operation != "append":
+            raise ValueError("cherry_pick supports staged appends only")
+        files = [
+            f
+            for e in self.manifest_entries_of(staged)
+            for f in self._read_manifest(e["path"])
+            if f.added_by == staged.snapshot_id
+        ]
+        if not files:
+            raise ValueError(f"snapshot {snapshot_id} added no files")
+        return self._commit(
+            "append", files, set(),
+            extra_summary={"cherry_picked_from": snapshot_id},
         )
 
     def replace_files(
@@ -1133,10 +1202,20 @@ class IcehouseTable:
                 f"changes(): from={from_snapshot_id} is newer than "
                 f"to={to_snap.snapshot_id}"
             )
-        in_range = [
-            s for s in self.snapshots()
-            if from_snapshot_id < s.snapshot_id <= to_snap.snapshot_id
-        ]
+        # walk the PARENT CHAIN from `to` back to `from` — an id-range scan
+        # would wrongly include staged (publish=False) side snapshots that
+        # were never part of this lineage
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        in_range: list[Snapshot] = []
+        cur: Snapshot | None = to_snap
+        while cur is not None and cur.snapshot_id != from_snapshot_id:
+            in_range.append(cur)
+            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+        if cur is None and from_snapshot_id != 0:
+            raise ValueError(
+                f"changes(): snapshot {from_snapshot_id} is not an ancestor "
+                f"of {to_snap.snapshot_id} (expired or staged lineage)"
+            )
         added: list[DataFile] = []
         for s in sorted(in_range, key=lambda s: s.snapshot_id):
             if s.operation == "append":

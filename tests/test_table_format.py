@@ -300,3 +300,70 @@ def test_bloom_cols_property_embeds_parquet_bloom_filters(spark, tmp_path):
     assert tbl.scan().count() == 2000
     one = tbl.scan().select("url").orderBy("url").first().url
     assert tbl.scan([Predicate("url", "=", one)]).count() == 1
+
+
+def test_write_audit_publish(spark, pages_table):
+    """publish=False stages an append: readers keep the old current, the
+    staged snapshot audits by id, publish_snapshot fast-forwards."""
+    base_count = pages_table.scan().count()
+    staged = pages_table.append(
+        generate_pages(spark, 20, seed=61, partitions=1), publish=False
+    )
+    assert pages_table.scan().count() == base_count, "readers must not see staged"
+    assert pages_table.current_snapshot().snapshot_id == staged.parent_id
+    # the audit: scan the staged snapshot directly
+    assert pages_table.scan(snapshot_id=staged.snapshot_id).count() == base_count + 20
+
+    pages_table.publish_snapshot(staged.snapshot_id)
+    assert pages_table.scan().count() == base_count + 20
+    # idempotent re-publish
+    pages_table.publish_snapshot(staged.snapshot_id)
+    assert pages_table.current_snapshot().snapshot_id == staged.snapshot_id
+
+
+def test_wap_cherry_pick_after_current_moved(spark, pages_table):
+    """When commits land after staging, fast-forward publish conflicts and
+    cherry_pick re-applies the staged files (no data rewrite) on the new
+    current, with added_by re-stamped for eq-delete sequence semantics."""
+    from ecommerce_lakehouse_spark.table.format import CommitConflict
+
+    base_count = pages_table.scan().count()
+    staged = pages_table.append(
+        generate_pages(spark, 15, seed=62, partitions=1), publish=False
+    )
+    pages_table.append(generate_pages(spark, 5, seed=63, partitions=1))
+
+    with pytest.raises(CommitConflict, match="cherry_pick"):
+        pages_table.publish_snapshot(staged.snapshot_id)
+    picked = pages_table.cherry_pick(staged.snapshot_id)
+    assert pages_table.scan().count() == base_count + 20
+    live = {f.path: f for f in pages_table.live_files()}
+    staged_files = [
+        f for e in pages_table.manifest_entries_of(staged)
+        for f in pages_table._read_manifest(e["path"])
+        if f.added_by == staged.snapshot_id
+    ]
+    for f in staged_files:  # same physical files, new lineage stamp
+        assert live[f.path].added_by == picked.snapshot_id
+
+    # changes() walks the published chain only: the staged side snapshot
+    # never appears, the cherry-picked rows do
+    assert pages_table.changes(staged.parent_id).count() == 20
+
+
+def test_expire_keeps_pending_staged_snapshots(spark, pages_table):
+    from ecommerce_lakehouse_spark.maintenance import expire_snapshots
+
+    staged = pages_table.append(
+        generate_pages(spark, 10, seed=64, partitions=1), publish=False
+    )
+    pages_table.append(generate_pages(spark, 5, seed=65, partitions=1))
+    expire_snapshots(pages_table, keep_last=1, orphan_grace_ms=0)
+    # the staged snapshot survived (pending publish decision) and its
+    # files are intact; an age cutoff in the future sweeps it
+    n = pages_table.scan(snapshot_id=staged.snapshot_id).count()
+    assert n == pages_table.scan().count() - 5 + 10
+    expire_snapshots(pages_table, keep_last=1, orphan_grace_ms=0,
+                     older_than_ms=staged.timestamp_ms + 10_000)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        pages_table.scan(snapshot_id=staged.snapshot_id)
