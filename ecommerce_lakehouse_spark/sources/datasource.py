@@ -18,7 +18,8 @@ Built on PySpark 4's Python Data Source API:
   zero per-row Python), reconciling pre-schema-evolution files by
   null-filling missing columns.
 
-Options: path (required), snapshot_id (optional time travel).
+Options: path (required), snapshot_id (optional time travel), tag
+(optional named ref — see IcehouseTable.create_tag).
 
 Trade-off vs `IcehouseTable.scan()`: scan() hands Spark a native parquet
 relation (JVM vectorized reader, whole-stage codegen into the scan), while
@@ -95,8 +96,11 @@ class IcehouseReader(DataSourceReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("icehouse: .load(path) is required")
+        # snapshot_id (time travel) or tag (named ref) — _resolve_snapshot
+        # accepts either an int id or a tag name string
         self._snapshot_id = (
-            int(options["snapshot_id"]) if options.get("snapshot_id") else None
+            int(options["snapshot_id"]) if options.get("snapshot_id")
+            else options.get("tag") or None
         )
         self._schema = schema
         self._predicates: list[Predicate] = []

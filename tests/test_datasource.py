@@ -264,3 +264,22 @@ def test_dsv2_handles_all_files_pruned(spark, tmp_path):
     )
     assert got.count() == 0
     assert got.columns == [f.name for f in tbl.schema().fields]
+
+
+def test_dsv2_reads_tagged_snapshot(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ecommerce_lakehouse_spark.datagen import generate_pages
+    from ecommerce_lakehouse_spark.sources.datasource import register
+    from ecommerce_lakehouse_spark.table import IcehouseTable
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "pages"),
+        generate_pages(spark, 100, seed=90, partitions=1),
+    )
+    tbl.create_tag("v1")
+    tbl.append(generate_pages(spark, 30, seed=91, partitions=1))
+    register(spark)
+    got = spark.read.format("icehouse").option("tag", "v1").load(tbl.path)
+    assert got.count() == 100
+    assert spark.read.format("icehouse").load(tbl.path).count() == 130
