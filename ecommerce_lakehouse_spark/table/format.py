@@ -1043,6 +1043,14 @@ class IcehouseTable:
         ]
         if not files:
             raise ValueError(f"snapshot {snapshot_id} added no files")
+        live = {f.path for f in self.live_files()}
+        if any(f.path in live for f in files):
+            # double-applying would duplicate rows AND double-reference the
+            # physical files in the manifests (Iceberg dedups via wap.id)
+            raise ValueError(
+                f"snapshot {snapshot_id} is already applied to the current "
+                f"lineage — cherry-picking it again would duplicate rows"
+            )
         return self._commit(
             "append", files, set(),
             extra_summary={"cherry_picked_from": snapshot_id},

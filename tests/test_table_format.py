@@ -350,6 +350,14 @@ def test_wap_cherry_pick_after_current_moved(spark, pages_table):
     # never appears, the cherry-picked rows do
     assert pages_table.changes(staged.parent_id).count() == 20
 
+    # double-apply is refused (would duplicate rows)
+    with pytest.raises(ValueError, match="already applied"):
+        pages_table.cherry_pick(staged.snapshot_id)
+    # and a fast-forward publish of the consumed staged snapshot conflicts
+    from ecommerce_lakehouse_spark.table.format import CommitConflict as _CC
+    with pytest.raises(_CC):
+        pages_table.publish_snapshot(staged.snapshot_id)
+
 
 def test_expire_keeps_pending_staged_snapshots(spark, pages_table):
     from ecommerce_lakehouse_spark.maintenance import expire_snapshots
