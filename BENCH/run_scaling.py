@@ -41,7 +41,7 @@ def main() -> None:
 
     runs: dict[int, list[dict]] = {N_SMALL: [], N_BIG: []}
     for r in range(repeats):
-        for cores in (N_SMALL, N_BIG):  # interleaved: same throttle regime
+        for cores in (N_BIG, N_SMALL):  # interleaved; 4N first on freshest credits (VERDICT r4 #4)
             res = run_once(cores, workdir, n_pages)
             runs[cores].append(res)
             print(json.dumps(res), flush=True)

@@ -28,6 +28,7 @@ from .text import shingles, sql_shingles, sql_tokens, tokens
 
 N_PERMS = 8
 BAND_SIZE = 2  # 8 perms / 2 = 4 bands; P(candidate) = 1-(1-j^2)^4
+_USE_DEFAULT = object()  # sentinel: "apply the module-level default cap"
 
 
 # ----------------------------------------------------------------- exact
@@ -56,13 +57,26 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # --------------------------------------------------------------- MinHash
 
-def minhash_signature(col: Column, n_perms: int = N_PERMS) -> list[Column]:
-    """n_perms independent min-hashes of the shingle set (lexicographic min
-    of seeded md5 — order-independent, associative, combiner-friendly)."""
+def minhash_signature(
+    col: Column, n_perms: int = N_PERMS, hash_mode: str = "md5"
+) -> list[Column]:
+    """n_perms independent min-hashes of the shingle set (min of seeded
+    hashes — order-independent, associative, combiner-friendly).
+
+    ``hash_mode="md5"`` (default): lexicographic min over seeded-md5 hex —
+    deliberately chosen because DuckDB computes the identical value, making
+    the whole LSH stack oracle-checkable. ``hash_mode="xxhash64"``: the
+    PRODUCTION path — numeric min over seeded xxhash64 int64s, computed
+    entirely in the JVM without md5's per-shingle digest cost (~5× cheaper
+    per hash at 100 TB). Same structure, same shuffle shape, same recall
+    behavior; only the hash family differs (tests assert pair-set parity
+    on planted corpora)."""
     sh = shingles(col)
 
     def _seeded(i):  # closure factory — a default arg would turn the lambda
-        return lambda s: F.md5(F.concat(F.lit(f"p{i}|"), s))  # into (elem, idx)
+        if hash_mode == "xxhash64":  # into (elem, idx)
+            return lambda s: F.xxhash64(F.concat(F.lit(f"p{i}|"), s))
+        return lambda s: F.md5(F.concat(F.lit(f"p{i}|"), s))
 
     return [
         F.array_min(F.transform(sh, _seeded(i))).alias(f"mh{i}")
@@ -78,32 +92,67 @@ def sql_minhash_signature(expr: str, n_perms: int = N_PERMS) -> list[str]:
     ]
 
 
+DEFAULT_LSH_MAX_BUCKET = 1_000
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n_perms: int = N_PERMS,
     band_size: int = BAND_SIZE,
+    max_bucket_size: int | None | object = _USE_DEFAULT,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 MinHash band bucket.
 
     Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    ``max_bucket_size`` is the LSH analog of Jaccard's ``max_df``
+    (VERDICT r04 #6): a band bucket of k docs emits k²/2 pairs, so one
+    degenerate bucket (boilerplate pages hashing identically) can dominate
+    the whole job. Buckets above the cap are DROPPED before the self-join —
+    standard LSH practice: a bucket that hot is near-identical boilerplate,
+    which exact dedup (:func:`exact_dedup_groups`) already collapses more
+    cheaply. The hot-bucket list is tiny by construction (≤ n_docs·bands /
+    cap entries) and is removed via a broadcast anti-join, mirroring the
+    hot-shingle path in :func:`jaccard_pairs`. ``max_bucket_size=None`` is
+    the explicit small-corpus opt-out.
     """
-    sig = df.select(F.col(id_col).alias("__id"), *minhash_signature(F.col(text_col), n_perms))
+    if max_bucket_size is _USE_DEFAULT:
+        max_bucket_size = DEFAULT_LSH_MAX_BUCKET
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        *minhash_signature(F.col(text_col), n_perms, hash_mode=hash_mode),
+    )
     n_bands = n_perms // band_size
     bands = []
     for b in range(n_bands):
         cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        if hash_mode == "xxhash64":
+            # int64 signatures: hash the band tuple JVM-side, no hex digest
+            bucket = F.xxhash64(*cols)
+        else:
+            bucket = F.md5(F.concat_ws("|", *cols))
         bands.append(
             sig.select(
                 "__id",
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+                bucket.alias("bucket"),
             )
         )
     exploded = bands[0]
     for b in bands[1:]:
         exploded = exploded.unionByName(b)
+    if max_bucket_size is not None:
+        hot = (
+            exploded.groupBy("band", "bucket").count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        exploded = exploded.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
     left = exploded.select(
         F.col("band"), F.col("bucket"), F.col("__id").alias("id_a")
     )
@@ -125,7 +174,6 @@ def minhash_lsh_candidates(
 # k²/2 join rows — so the finite cap is the default and ``max_df=None`` is
 # the explicit opt-out for small corpora (VERDICT r02 #6).
 DEFAULT_JACCARD_MAX_DF = 10_000
-_USE_DEFAULT = object()
 
 
 def jaccard_pairs(
@@ -232,13 +280,28 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= {threshold}
 SIMHASH_BITS = 16  # oracle-checkable width; production would use 64
 
 
-def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+def simhash(col: Column, bits: int = SIMHASH_BITS, hash_mode: str = "md5") -> Column:
     """Charikar SimHash over tokens: per-token hash votes ±1 on each bit.
 
-    Token hash = first 4 hex chars of md5 (16 bits), identical in DuckDB.
-    """
+    ``hash_mode="md5"`` (default): token hash = first 4 hex chars of md5
+    (16 bits), identical in DuckDB — the oracle-checkable width.
+    ``hash_mode="xxhash64"``: the PRODUCTION path — full-width xxhash64
+    token hashes, usable with ``bits`` up to 64 (pass bits=64 for the
+    standard production fingerprint; the sign bit lands via shiftleft's
+    two's-complement wrap, assembled with bitwise OR so no arithmetic
+    overflow is possible)."""
     toks = tokens(col)
-    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"))
+    if hash_mode == "xxhash64":
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        if bits > 16:
+            raise ValueError("md5 simhash mode carries 16 hash bits; use "
+                             "hash_mode='xxhash64' for wider fingerprints")
+        th = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"),
+        )
+
     def _vote(i):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
@@ -247,7 +310,11 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     out = F.lit(0).cast("long")
     for i in range(bits):
         votes = F.aggregate(th, F.lit(0).cast("long"), _vote(i))
-        out = out + F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        out = out.bitwiseOR(
+            F.when(
+                votes > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
     return out
 
 

@@ -52,11 +52,13 @@ def plan_compaction(
 ) -> list[CompactionBin]:
     """First-fit-decreasing pack of small files into ≈target-size bins.
 
-    On bucketed tables, bins never cross bucket boundaries: mixing buckets
-    in one output file would erase its bucket tag and cost MERGE discovery
-    its zero-read routing forever after. Untagged legacy files form their
-    own group and may still be packed together."""
-    from ..table.format import bucket_of_file
+    On bucketed tables, bins never cross bucket boundaries — nor spec
+    GENERATIONS after set_bucket_spec (bucket 3 of n=8 and bucket 3 of
+    n=16 hold different key sets): mixing either in one output file would
+    erase its bucket tag and cost MERGE discovery its zero-read routing
+    forever after. Untagged legacy files form their own group and may
+    still be packed together."""
+    from ..table.format import bucket_spec_of_file
 
     threshold = int(target_file_bytes * small_file_ratio)
     small = sorted(
@@ -66,10 +68,10 @@ def plan_compaction(
     )
     groups: dict = {}
     for f in small:
-        groups.setdefault(bucket_of_file(f), []).append(f)
+        groups.setdefault(bucket_spec_of_file(f), []).append(f)
     all_bins: list[list[DataFile]] = []
     for _bucket, gfiles in sorted(
-        groups.items(), key=lambda kv: (kv[0] is None, kv[0])
+        groups.items(), key=lambda kv: (kv[0][0] is None, str(kv[0]))
     ):
         bins: list[list[DataFile]] = []
         loads: list[int] = []
@@ -123,11 +125,13 @@ def _rewrite_bin(
     if stats_cols is None:
         stats_cols = IcehouseTable._default_stats_cols(schema)
     collected = collect_stats(spark, moved, stats_cols)
-    # single-bucket bins (the planner never mixes buckets) pass their tag on
-    from ..table.format import BUCKET_STAT, bucket_of_file
+    # single-bucket bins (the planner never mixes buckets or spec
+    # generations) pass their full write-time spec tag on
+    from ..table.format import BUCKET_STAT, bucket_spec_of_file
 
-    bin_buckets = {bucket_of_file(f) for f in b.files}
-    tag = bin_buckets.pop() if len(bin_buckets) == 1 else None
+    bin_specs = {bucket_spec_of_file(f) for f in b.files}
+    spec = bin_specs.pop() if len(bin_specs) == 1 else (None, None, None)
+    tag = spec[0]
     # outputs carry the upcoming commit's lineage: added_by orders them
     # AFTER any equality delete they were read through (sequence semantics);
     # the commit's eq-registry validation aborts if newer deletes raced in
@@ -136,7 +140,10 @@ def _rewrite_bin(
     for c in collected:
         st = c["stats"]
         if tag is not None:
-            st = {**st, BUCKET_STAT: {"min": tag, "max": tag, "null_count": 0}}
+            entry = {"min": tag, "max": tag, "null_count": 0}
+            if spec[2] is not None:
+                entry.update({"k": spec[1], "n": spec[2]})
+            st = {**st, BUCKET_STAT: entry}
         out.append(
             DataFile(
                 os.path.relpath(c["path"], table.path),

@@ -79,11 +79,34 @@ def expire_snapshots(
             s.snapshot_id for s in snaps if s.timestamp_ms >= older_than_ms
         }
     else:
-        # no age cutoff: staged snapshots stay pending-publish
-        retained_ids |= {s.snapshot_id for s in staged}
+        # no age cutoff: staged snapshots stay pending-publish — EXCEPT
+        # staged originals a retained chain snapshot already consumed via
+        # cherry_pick (their summary records cherry_picked_from): those are
+        # permanently off-chain, never pending, and expire as history
+        consumed = {
+            s.summary.get("cherry_picked_from")
+            for s in chain
+            if s.summary.get("cherry_picked_from") is not None
+        }
+        retained_ids |= {
+            s.snapshot_id for s in staged if s.snapshot_id not in consumed
+        }
     # tagged snapshots are pinned: a named ref (create_tag) means someone
     # depends on that exact row set — expiry never sweeps it
     retained_ids |= set(table.refs().values()) & set(by_id)
+    # branches pin their EXCLUSIVE lineage (head back to the fork point):
+    # a branch is in-progress work, so its whole history must survive until
+    # the branch is published or dropped; shared ancestors on the published
+    # chain keep expiring under keep_last as usual (each snapshot's manifest
+    # list is self-contained, so the branch needs no fork-point data)
+    for head in table.branches().values():
+        node = by_id.get(head)
+        while node is not None and node.snapshot_id not in chain_ids:
+            retained_ids.add(node.snapshot_id)
+            node = (
+                by_id.get(node.parent_id)
+                if node.parent_id is not None else None
+            )
     retained = [s for s in snaps if s.snapshot_id in retained_ids]
     cur = md["current_snapshot_id"]
     if cur is not None and cur not in retained_ids:

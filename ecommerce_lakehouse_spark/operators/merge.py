@@ -73,30 +73,52 @@ def _candidate_files(table: IcehouseTable, source: DataFrame, key_cols: list[str
 INTERVAL_ROUTE_MIN_FILES = 8
 
 
-def _bucket_candidates(candidates, src_keys: DataFrame, key: str, n: int):
+def _bucket_candidates(candidates, src_keys: DataFrame, key: str, n: int,
+                       legacy_n: int | None = None):
     """Route source keys to hash buckets and keep only files tagged with a
     hit bucket (table/format bucket layout). ZERO data read: the tag lives
     in manifest stats, and the routing job is one narrow distinct over the
-    already-deduped key set (≤ n output rows). Unlike per-file interval
-    routing this works on ANY clustering layout — 2-D Morton files span
-    wide key ranges by design, but their bucket tags stay exact. Untagged
-    files (pre-bucketing lineage, cross-bucket rewrites) are always kept."""
-    from ..table.format import bucket_id_expr, bucket_of_file
+    already-deduped key set (≤ n output rows per spec generation). Unlike
+    per-file interval routing this works on ANY clustering layout — 2-D
+    Morton files span wide key ranges by design, but their bucket tags stay
+    exact. Untagged files (pre-bucketing lineage, cross-bucket rewrites)
+    are always kept.
 
-    tagged = [f for f in candidates if bucket_of_file(f) is not None]
-    if not tagged:
+    Spec EVOLUTION (set_bucket_spec): each file's tag records its
+    write-time (key, modulus); source keys are hashed once per live
+    generation, so an 8→16 re-bucket keeps BOTH generations exactly
+    routable with no rewrite. ``legacy_n`` is the modulus assumed for tags
+    recorded before per-file specs existed — the current table n on a
+    never-evolved table, None (always scan) once the spec has changed."""
+    from ..table.format import bucket_id_expr, bucket_spec_of_file
+
+    # group tagged files by their write-time spec generation
+    by_n: dict[int, list] = {}
+    rest = []  # untagged, wrong-key, or unknowable-legacy: always kept
+    for f in candidates:
+        b, fk, fn = bucket_spec_of_file(f)
+        if b is None:
+            rest.append(f)
+            continue
+        if fn is None:
+            fk, fn = key, legacy_n  # pre-spec tag: assume legacy modulus
+        if fk != key or fn is None:
+            rest.append(f)
+            continue
+        by_n.setdefault(fn, []).append(f)
+    if not by_n:
         return candidates
-    hit = {
-        r["__b"]
-        for r in src_keys.select(bucket_id_expr(key, n).alias("__b"))
-        .distinct()
-        .collect()
-        if r["__b"] is not None
-    }
-    return [
-        f for f in candidates
-        if bucket_of_file(f) is None or bucket_of_file(f) in hit
-    ]
+    kept = list(rest)
+    for gen_n, files in sorted(by_n.items()):
+        hit = {
+            r["__b"]
+            for r in src_keys.select(bucket_id_expr(key, gen_n).alias("__b"))
+            .distinct()
+            .collect()
+            if r["__b"] is not None
+        }
+        kept.extend(f for f in files if bucket_spec_of_file(f)[0] in hit)
+    return kept
 
 
 def _interval_candidates(candidates, src_keys: DataFrame, key: str):
@@ -376,8 +398,12 @@ def merge_into(
         # the LEADING key is conservative for composite keys too — a match
         # requires equality on every key, so a file whose bucket tag covers
         # no source keys[0] value cannot contain a match (VERDICT r03 #5).
+        evolved = (
+            table.properties().get(table.BUCKET_EVOLVED_PROP) == "true"
+        )
         candidates = _bucket_candidates(
-            candidates, src_keys, bucket_spec[0], bucket_spec[1]
+            candidates, src_keys, bucket_spec[0], bucket_spec[1],
+            legacy_n=None if evolved else bucket_spec[1],
         )
     if candidates:
         # per-file interval routing on the leading key: on clustered tables

@@ -283,6 +283,100 @@ FROM read_parquet('{fixture_path("exp_b")}')
 """
 
 
+def m_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED across a MERGE and a DELETE
+    (``IcehouseTable.changes(cdc=True)``): SCD1 merge over the pages table
+    (400 recrawl updates + 200 new urls), then a positional DELETE of a
+    deterministic url slice — the feed must emit exactly the
+    update_before/update_after pairs, the inserts, and the deletes, each
+    stamped with its commit snapshot. The DuckDB twin states the same
+    deltas relationally (update pairs = delta⋈base where any column
+    differs, inserts = delta∖base, deletes = the merged rows of the victim
+    slice). This is the incremental-consumption surface a downstream
+    training-data pipeline reads instead of rescanning 100 TB per run."""
+    from .operators.merge import dedup_latest, merge_into
+    from .table import IcehouseTable, Predicate, delete_where
+
+    d = _fresh_dir()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "merge_base", 4)
+        )
+        delta = dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        )
+        merge_into(tbl, delta, "url")  # snapshot 2
+        # bounded driver-side victim pick (same pattern as m_delete_vectors:
+        # the table holds 2,200 urls, far under the hard cap)
+        urls = sorted(
+            r.url
+            for r in tbl.scan().select("url").distinct()
+            .orderBy("url").limit(4096).collect()
+        )
+        victims = tuple(urls[::181][:10])
+        delete_where(tbl, [Predicate("url", "in", victims)])  # snapshot 3
+        cdc = tbl.changes(1, cdc=True, key_cols=["url"])
+        return cdc.select(
+            "url",
+            F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts_us"),
+            F.length("text").alias("text_len"),
+            "lang",
+            "_change_type",
+            "_commit_snapshot_id",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_CHANGES_CDC = f"""
+WITH base AS (SELECT * FROM read_parquet('{fixture_path("merge_base")}')),
+delta0 AS (SELECT * FROM read_parquet('{fixture_path("merge_delta")}')),
+d AS (
+  SELECT url, warc_ts, html, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM delta0
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT coalesce(d.url, b.url) AS url,
+         coalesce(d.warc_ts, b.warc_ts) AS warc_ts,
+         coalesce(d.text, b.text) AS text,
+         coalesce(d.lang, b.lang) AS lang
+  FROM base b FULL OUTER JOIN d ON b.url = d.url
+),
+u AS (
+  SELECT url, row_number() OVER (ORDER BY url) - 1 AS i
+  FROM (SELECT DISTINCT url FROM merged)
+),
+victims AS (SELECT url FROM u WHERE i % 181 = 0 ORDER BY i LIMIT 10),
+upd AS (
+  SELECT d.url AS url,
+         b.warc_ts AS b_ts, b.text AS b_text, b.lang AS b_lang,
+         d.warc_ts AS d_ts, d.text AS d_text, d.lang AS d_lang
+  FROM d JOIN base b ON d.url = b.url
+  WHERE (d.warc_ts, d.html, d.text, d.lang)
+        IS DISTINCT FROM (b.warc_ts, b.html, b.text, b.lang)
+)
+SELECT url, epoch_us(b_ts) AS warc_ts_us, length(b_text) AS text_len,
+       b_lang AS lang, 'update_before' AS _change_type,
+       CAST(2 AS BIGINT) AS _commit_snapshot_id
+FROM upd
+UNION ALL
+SELECT url, epoch_us(d_ts), length(d_text), d_lang, 'update_after',
+       CAST(2 AS BIGINT)
+FROM upd
+UNION ALL
+SELECT url, epoch_us(warc_ts), length(text), lang, 'insert',
+       CAST(2 AS BIGINT)
+FROM d WHERE url NOT IN (SELECT url FROM base)
+UNION ALL
+SELECT url, epoch_us(warc_ts), length(text), lang, 'delete',
+       CAST(3 AS BIGINT)
+FROM merged WHERE url IN (SELECT url FROM victims)
+"""
+
+
 MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
@@ -290,4 +384,5 @@ MAINTENANCE_REGISTRY: dict = {
     "m_snapshot_expire": (m_snapshot_expire, SQL_M_SNAPSHOT_EXPIRE),
     "m_delete_vectors_pages": (m_delete_vectors_pages, SQL_M_DELETE_VECTORS),
     "m_incremental_changes": (m_incremental_changes, SQL_M_INCREMENTAL_CHANGES),
+    "m_changes_cdc": (m_changes_cdc, SQL_M_CHANGES_CDC),
 }

@@ -114,9 +114,15 @@ def _sql_minhash_lsh_pairs() -> str:
         )
     return f"""
 WITH sig AS (SELECT doc_id, {', '.join(sig_cols)} FROM documents),
-exploded AS ({' UNION ALL '.join(band_selects)})
+exploded AS ({' UNION ALL '.join(band_selects)}),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM exploded
+),
+kept AS (
+  SELECT __id, band, bucket FROM sized WHERE bsz <= {D.DEFAULT_LSH_MAX_BUCKET}
+)
 SELECT DISTINCT a.__id AS id_a, b.__id AS id_b
-FROM exploded a JOIN exploded b
+FROM kept a JOIN kept b
   ON a.band = b.band AND a.bucket = b.bucket AND a.__id < b.__id
 """
 

@@ -19,7 +19,9 @@ Built on PySpark 4's Python Data Source API:
   null-filling missing columns.
 
 Options: path (required), snapshot_id (optional time travel), tag
-(optional named ref — see IcehouseTable.create_tag).
+(optional named ref — see IcehouseTable.create_tag), branch (optional
+mutable ref — reads the branch head; on write, commits advance the branch
+pointer instead of main — see IcehouseTable.create_branch).
 
 Trade-off vs `IcehouseTable.scan()`: scan() hands Spark a native parquet
 relation (JVM vectorized reader, whole-stage codegen into the scan), while
@@ -96,11 +98,11 @@ class IcehouseReader(DataSourceReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("icehouse: .load(path) is required")
-        # snapshot_id (time travel) or tag (named ref) — _resolve_snapshot
-        # accepts either an int id or a tag name string
+        # snapshot_id (time travel), tag (named ref) or branch (mutable
+        # ref) — _resolve_snapshot accepts an int id or a ref name string
         self._snapshot_id = (
             int(options["snapshot_id"]) if options.get("snapshot_id")
-            else options.get("tag") or None
+            else options.get("tag") or options.get("branch") or None
         )
         self._schema = schema
         self._predicates: list[Predicate] = []
@@ -235,6 +237,7 @@ class IcehouseWriter(DataSourceArrowWriter):
         # option keys arrive case-insensitively (Spark lowercases them)
         low = {k.lower(): v for k, v in options.items()}
         self._merge_schema = str(low.get("mergeschema", "false")).lower() == "true"
+        self._branch = low.get("branch") or None
         self._schema = schema
         self._overwrite = overwrite
 
@@ -288,6 +291,11 @@ class IcehouseWriter(DataSourceArrowWriter):
         if not table.exists():
             import os
 
+            if self._branch:
+                raise ValueError(
+                    "icehouse: cannot write to a branch of a table that "
+                    "does not exist yet"
+                )
             for d in (table.meta_dir, table.manifest_dir, table.data_dir,
                       table.ledger_dir):
                 os.makedirs(d, exist_ok=True)
@@ -315,12 +323,12 @@ class IcehouseWriter(DataSourceArrowWriter):
                 df, None, snapshot_id=table.current_version() + 1
             )
             if self._overwrite:
-                removed = {f.path for f in table.live_files()}
+                removed = {f.path for f in self._base_live(table)}
                 table._commit("overwrite", restaged, removed,
-                              schema_json=schema_json)
+                              schema_json=schema_json, ref=self._branch)
             else:
                 table._commit("append", restaged, set(),
-                              schema_json=schema_json)
+                              schema_json=schema_json, ref=self._branch)
             for f in added:  # the untagged originals never joined the table
                 try:
                     os.unlink(os.path.join(table.path, f.path))
@@ -328,10 +336,19 @@ class IcehouseWriter(DataSourceArrowWriter):
                     pass
             return
         if self._overwrite:
-            removed = {f.path for f in table.live_files()}
-            table._commit("overwrite", added, removed, schema_json=schema_json)
+            removed = {f.path for f in self._base_live(table)}
+            table._commit("overwrite", added, removed,
+                          schema_json=schema_json, ref=self._branch)
         else:
-            table._commit("append", added, set(), schema_json=schema_json)
+            table._commit("append", added, set(), schema_json=schema_json,
+                          ref=self._branch)
+
+    def _base_live(self, table):
+        """The files an overwrite replaces: the BRANCH head's when writing
+        to a branch, main's current otherwise."""
+        if self._branch:
+            return table.live_files(table._resolve_snapshot(self._branch))
+        return table.live_files()
 
     def abort(self, messages):
         import os

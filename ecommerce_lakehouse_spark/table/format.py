@@ -80,6 +80,16 @@ def bucket_of_file(f: "DataFile") -> int | None:
     return st.get("min")
 
 
+def bucket_spec_of_file(f: "DataFile") -> tuple[int, str | None, int | None]:
+    """(bucket_id, key, n) recorded at write time — the per-file spec that
+    makes bucket-spec EVOLUTION routable: after ``set_bucket_spec`` changes
+    ``bucket.n``, old files keep their old modulus and MERGE discovery must
+    hash source keys under EACH generation's n, not the current one.
+    Files written before the spec was recorded return (bucket, None, None)."""
+    st = f.stats.get(BUCKET_STAT) or {}
+    return st.get("min"), st.get("k"), st.get("n")
+
+
 @dataclass
 class DataFile:
     path: str
@@ -194,7 +204,10 @@ class IcehouseTable:
             (
                 s.snapshot_id,
                 s.parent_id,
-                datetime.datetime.utcfromtimestamp(s.timestamp_ms / 1000.0),
+                # naive-UTC for TIMESTAMP_NTZ (utcfromtimestamp is deprecated)
+                datetime.datetime.fromtimestamp(
+                    s.timestamp_ms / 1000.0, tz=datetime.timezone.utc
+                ).replace(tzinfo=None),
                 s.operation,
                 int(s.summary.get("added_files", 0)),
                 int(s.summary.get("removed_files", 0)),
@@ -208,6 +221,72 @@ class IcehouseTable:
             "snapshot_id long, parent_id long, committed_at timestamp_ntz, "
             "operation string, added_files long, removed_files long, "
             "total_rows long, total_bytes long",
+        )
+
+    _FILES_SCHEMA = (
+        "path string, row_count long, size_bytes long, added_by long, "
+        "bucket int, delete_rows long, stats_json string"
+    )
+
+    def files(self, snapshot_id: int | str | None = None) -> DataFrame:
+        """Live data files as a DataFrame (Iceberg's ``files`` metadata
+        table): one row per data file with its manifest stats, lineage
+        (``added_by``), bucket tag, and registered positional-delete row
+        count. This is the inspection surface the maintenance planners use
+        via the Python API, exposed relationally so operators can reason
+        about layout with plain SQL (`SELECT sum(size_bytes) ... GROUP BY
+        bucket`)."""
+        snap = self._resolve_snapshot(snapshot_id)
+        rows = []
+        if snap is not None:
+            reg = self.delete_registry(snap)
+            for f in self.live_files(snap):
+                rows.append((
+                    f.path,
+                    f.row_count,
+                    f.size_bytes,
+                    f.added_by,
+                    bucket_of_file(f),
+                    int(reg.get(f.path, {}).get("rows", 0)),
+                    json.dumps(f.stats, sort_keys=True, default=str),
+                ))
+        return self.spark.createDataFrame(rows, self._FILES_SCHEMA)
+
+    def manifests(self, snapshot_id: int | str | None = None) -> DataFrame:
+        """Per-manifest rollups of a snapshot (Iceberg's ``manifests``
+        table) straight from the manifest list — zero manifest reads."""
+        snap = self._resolve_snapshot(snapshot_id)
+        entries = self.manifest_entries_of(snap) if snap is not None else []
+        rows = [
+            (
+                e["path"],
+                int(e.get("n_files", 0)),
+                int(e.get("n_rows", 0)),
+                int(e.get("n_bytes", 0)),
+            )
+            for e in entries
+        ]
+        return self.spark.createDataFrame(
+            rows, "path string, n_files long, n_rows long, n_bytes long"
+        )
+
+    def partitions(self, snapshot_id: int | str | None = None) -> DataFrame:
+        """Per-bucket layout rollup (Iceberg's ``partitions`` table for the
+        hash-bucket spec): live rows per bucket = file rows minus registered
+        positional deletes. ``bucket`` is NULL for files written before
+        bucketing (or cross-bucket rewrites) — a non-empty NULL group tells
+        the operator which files can't be bucket-routed by MERGE."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.files(snapshot_id)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_files"),
+                F.sum("row_count").alias("n_rows"),
+                F.sum("delete_rows").alias("n_delete_rows"),
+                F.sum("size_bytes").alias("n_bytes"),
+            )
         )
 
     # ------------------------------------------------------------- manifests
@@ -585,7 +664,12 @@ class IcehouseTable:
             st = c["stats"]
             b = bucket_by_path.get(c["path"])
             if b is not None:
-                st = {**st, BUCKET_STAT: {"min": b, "max": b, "null_count": 0}}
+                # the tag records the WRITE-TIME spec (key + modulus) so
+                # routing stays exact across bucket-spec evolution
+                st = {**st, BUCKET_STAT: {
+                    "min": b, "max": b, "null_count": 0,
+                    "k": spec[0], "n": spec[1],
+                }}
             out.append(
                 DataFile(
                     os.path.relpath(c["path"], self.path),
@@ -630,8 +714,17 @@ class IcehouseTable:
         base_delete_registry: dict | None = None,
         base_delete_manifest: str | None = "__unchecked__",
         publish: bool = True,
+        ref: str | None = None,
     ) -> Snapshot | None:
         """Optimistic commit with rebase-and-retry.
+
+        ``ref=<branch name>`` commits ON A BRANCH: the parent/base snapshot
+        is the branch head (property ``branch.<name>``) instead of the
+        published current, and the SAME atomic CAS that publishes the
+        metadata file advances the branch pointer — main's current never
+        moves. Concurrent main and branch writers serialize on the one
+        version counter, so a branch commit can never lose a main commit
+        (or vice versa); each rebases onto the other's metadata and retries.
 
         Manifests are incremental (Iceberg-style): an append adds ONE new
         manifest and reuses the parent's untouched; a replace rewrites only
@@ -650,9 +743,12 @@ class IcehouseTable:
                 "staged (publish=False) commits support pure appends only — "
                 "removals/deletes rebase against a published current"
             )
+        if ref is not None and not publish:
+            raise ValueError("a branch commit is already isolated from main "
+                             "— staging (publish=False) does not compose")
         for _attempt in range(max_retries):
             version = self.current_version()
-            if not publish and version == 0:
+            if (not publish or ref is not None) and version == 0:
                 raise ValueError("cannot stage against an empty table")
             if txn is not None and version > 0:
                 prev = self.load_metadata(version).get("properties", {}).get(
@@ -675,7 +771,15 @@ class IcehouseTable:
                 parent = None
             else:
                 md = self.load_metadata(version)
-                cur = md.get("current_snapshot_id")
+                if ref is not None:
+                    head = md.get("properties", {}).get(
+                        f"{self.BRANCH_PROP}{ref}"
+                    )
+                    if head is None:
+                        raise ValueError(f"unknown branch {ref!r}")
+                    cur = int(head)
+                else:
+                    cur = md.get("current_snapshot_id")
                 parent = cur
                 snap = next(
                     (s for s in md["snapshots"] if s["snapshot_id"] == cur), None
@@ -881,7 +985,12 @@ class IcehouseTable:
                 delete_manifest=child_dm,
             )
             md["snapshots"] = md.get("snapshots", []) + [snap_obj.to_json()]
-            if publish:
+            if ref is not None:
+                # branch commit: advance the branch pointer, never current
+                md.setdefault("properties", {})[
+                    f"{self.BRANCH_PROP}{ref}"
+                ] = snapshot_id
+            elif publish:
                 md["current_snapshot_id"] = snapshot_id
             # else: STAGED commit (write-audit-publish) — the snapshot exists
             # and is scan-addressable by id, but readers of the table keep
@@ -969,7 +1078,8 @@ class IcehouseTable:
                target_partitions: int | None = None,
                txn: tuple[str, int] | None = None,
                merge_schema: bool = False,
-               publish: bool = True) -> Snapshot | None:
+               publish: bool = True,
+               branch: str | None = None) -> Snapshot | None:
         """Atomic append. ``txn=(app_id, version)`` deduplicates replays of
         the same (stream, batch) — see _commit. Returns None when skipped.
         ``merge_schema=True`` lets the batch ADD nullable columns: the table
@@ -995,6 +1105,7 @@ class IcehouseTable:
             schema_json=widened.jsonValue() if widened is not None else None,
             txn=txn,
             publish=publish,
+            ref=branch,
         )
 
     def publish_snapshot(self, snapshot_id: int) -> Snapshot:
@@ -1051,6 +1162,20 @@ class IcehouseTable:
                 f"snapshot {snapshot_id} is already applied to the current "
                 f"lineage — cherry-picking it again would duplicate rows"
             )
+        # the file-liveness check alone is not enough: if the first applied
+        # copy was since compacted (its files rewritten out of live_files),
+        # a second cherry_pick would silently duplicate every row — so also
+        # refuse if any ancestor of current records this pick in its summary
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        cur = self.current_snapshot()
+        while cur is not None:
+            if cur.summary.get("cherry_picked_from") == snapshot_id:
+                raise ValueError(
+                    f"snapshot {snapshot_id} was already cherry-picked as "
+                    f"snapshot {cur.snapshot_id} — applying it again would "
+                    f"duplicate rows"
+                )
+            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
         return self._commit(
             "append", files, set(),
             extra_summary={"cherry_picked_from": snapshot_id},
@@ -1068,6 +1193,7 @@ class IcehouseTable:
         schema_json: dict | None = None,
         cluster_by: list[str] | None = None,
         base_delete_registry: dict | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         """Copy-on-write primitive: atomically swap removed files for new data.
 
@@ -1090,6 +1216,7 @@ class IcehouseTable:
             operation, added, set(removed_paths), extra_summary=extra_summary,
             schema_json=schema_json,
             base_delete_registry=base_delete_registry,
+            ref=branch,
         )
 
     def overwrite(self, df: DataFrame, stats_cols: list[str] | None = None,
@@ -1139,11 +1266,12 @@ class IcehouseTable:
     # only) but preserve the logical row set, so an incremental consumer
     # can skip them
     _CONTENT_NEUTRAL_OPS = ("compact", "cluster-", "rewrite-manifests",
-                            "rewrite-deletes", "set-ref")
+                            "rewrite-deletes", "set-ref", "set-spec")
 
     # ------------------------------------------------------------- refs
 
     REF_PROP = "ref."
+    BRANCH_PROP = "branch."
 
     def refs(self) -> dict[str, int]:
         """Named snapshot references (tags): {name: snapshot_id}."""
@@ -1151,6 +1279,14 @@ class IcehouseTable:
             k[len(self.REF_PROP):]: int(v)
             for k, v in self.properties().items()
             if k.startswith(self.REF_PROP)
+        }
+
+    def branches(self) -> dict[str, int]:
+        """Named MUTABLE refs (Iceberg branches): {name: head snapshot id}."""
+        return {
+            k[len(self.BRANCH_PROP):]: int(v)
+            for k, v in self.properties().items()
+            if k.startswith(self.BRANCH_PROP)
         }
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> Snapshot:
@@ -1181,30 +1317,225 @@ class IcehouseTable:
             extra_summary={"ref_dropped": name},
         )
 
+    BUCKET_EVOLVED_PROP = "bucket.evolved"
+
+    def set_bucket_spec(self, key: str, n: int) -> Snapshot:
+        """Evolve the hash-bucket spec WITHOUT rewriting data (Iceberg's
+        partition-spec evolution, for the bucket transform): a metadata-only
+        commit updates ``bucket.key``/``bucket.n``; existing files keep the
+        write-time spec recorded in their bucket tag and stay exactly
+        routable under it, new writes land under the new spec, and MERGE
+        discovery hashes source keys once per live spec generation
+        (operators/merge.py ``_bucket_candidates``). Files written before
+        per-file specs were recorded lose routing after an evolution (the
+        ``bucket.evolved`` property marks that their modulus is unknowable)
+        — they are conservatively always scanned until a rewrite re-tags
+        them."""
+        if n < 1:
+            raise ValueError(f"bucket.n must be >= 1, got {n}")
+        if key not in {f.name for f in self.schema().fields}:
+            raise ValueError(f"bucket key {key!r} is not a table column")
+        return self._commit(
+            "set-spec", [], set(),
+            properties={
+                BUCKET_KEY_PROP: key,
+                BUCKET_N_PROP: str(n),
+                self.BUCKET_EVOLVED_PROP: "true",
+            },
+            extra_summary={"bucket_key": key, "bucket_n": n},
+        )
+
+    # ------------------------------------------------------------ branches
+
+    def create_branch(
+        self, name: str, snapshot_id: int | None = None
+    ) -> Snapshot:
+        """Create a MUTABLE named ref (Iceberg branch) at a snapshot
+        (default: current). Unlike a staged WAP commit — one pending append
+        — a branch supports a whole multi-commit workflow (append, MERGE,
+        delete, compact) isolated from readers of main: every branch commit
+        rides the same metadata CAS, advancing ``branch.<name>`` while
+        main's current pointer stays put. Audit the branch via
+        ``scan(snapshot_id=<name>)`` / ``.option("branch", name)``, then
+        :meth:`fast_forward` (or :meth:`merge_branch`) publishes it."""
+        if not name or "." in name or "/" in name:
+            raise ValueError(f"invalid branch name {name!r}")
+        if name in self.branches():
+            raise ValueError(f"branch {name!r} already exists")
+        snap = self._resolve_snapshot(snapshot_id)
+        if snap is None:
+            raise ValueError("cannot branch an empty table")
+        return self._commit(
+            "set-ref", [], set(),
+            properties={f"{self.BRANCH_PROP}{name}": snap.snapshot_id},
+            extra_summary={"branch": name, "ref_snapshot_id": snap.snapshot_id},
+        )
+
+    def drop_branch(self, name: str) -> Snapshot:
+        if name not in self.branches():
+            raise ValueError(f"unknown branch {name!r}")
+        return self._commit(
+            "set-ref", [], set(),
+            properties={f"{self.BRANCH_PROP}{name}": None},  # tombstone
+            extra_summary={"branch_dropped": name},
+        )
+
+    def _is_ancestor(self, ancestor_id: int, descendant_id: int) -> bool:
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        cur = by_id.get(descendant_id)
+        while cur is not None:
+            if cur.snapshot_id == ancestor_id:
+                return True
+            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+        return False
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Publish a branch by moving main's current pointer to the branch
+        head — valid only while no DATA commit landed on main since the
+        fork (Iceberg's fast_forward). Pure ``set-ref`` commits on main
+        (create_tag/create_branch — including the one that created THIS
+        branch) don't block the move: they change no rows, and ref
+        properties live in the metadata file, not the snapshot, so the
+        pointer move never loses them. The move is a CAS metadata commit,
+        so a racing main writer wins or loses atomically — never a lost
+        update."""
+        for _attempt in range(10):
+            version = self.current_version()
+            md = self.load_metadata(version)
+            head = md.get("properties", {}).get(f"{self.BRANCH_PROP}{name}")
+            if head is None:
+                raise ValueError(f"unknown branch {name!r}")
+            head = int(head)
+            cur = md.get("current_snapshot_id")
+            if cur == head:
+                return self._resolve_snapshot(head)
+            # walk main's chain from current: every snapshot until the
+            # first ancestor-of-head must be a data-free set-ref commit
+            by_id = {s.snapshot_id: s for s in self.snapshots()}
+            node = by_id.get(cur) if cur is not None else None
+            while node is not None and not self._is_ancestor(
+                node.snapshot_id, head
+            ):
+                if node.operation != "set-ref":
+                    raise CommitConflict(
+                        f"fast_forward: main moved to {cur} (data commit "
+                        f"{node.snapshot_id}) since branch {name!r} forked "
+                        f"— merge_branch() instead"
+                    )
+                node = (
+                    by_id.get(node.parent_id)
+                    if node.parent_id is not None else None
+                )
+            md["current_snapshot_id"] = head
+            if self._try_publish(version + 1, md):
+                return self._resolve_snapshot(head)
+            time.sleep(0.01 * (_attempt + 1))
+        raise CommitConflict("fast_forward: lost commit race repeatedly")
+
+    def merge_branch(self, name: str, drop: bool = True) -> Snapshot:
+        """Publish a branch even after main moved: fast-forward when
+        possible, else re-apply the branch's exclusive APPEND snapshots
+        onto current in commit order (file-reuse cherry-picks — no data
+        rewritten). A diverged branch holding row-set-CHANGING snapshots
+        (merge/delete/rewrite) has no safe automatic 3-way merge — those
+        raise; re-run the operation against current instead."""
+        try:
+            out = self.fast_forward(name)
+            if drop:
+                self.drop_branch(name)
+            return out
+        except CommitConflict:
+            pass
+        head = self.branches().get(name)
+        if head is None:
+            raise ValueError(f"unknown branch {name!r}")
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        chain_ids = set()
+        cur = self.current_snapshot()
+        while cur is not None:
+            chain_ids.add(cur.snapshot_id)
+            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+        exclusive: list[Snapshot] = []
+        node = by_id.get(head)
+        while node is not None and node.snapshot_id not in chain_ids:
+            exclusive.append(node)
+            node = by_id.get(node.parent_id) if node.parent_id is not None else None
+        bad = [s for s in exclusive if s.operation != "append"]
+        if bad:
+            raise CommitConflict(
+                f"merge_branch: branch {name!r} diverged from main and "
+                f"contains non-append snapshot(s) "
+                f"{[(s.snapshot_id, s.operation) for s in bad]} — no safe "
+                f"automatic merge; re-run those operations on main"
+            )
+        out = None
+        for s in sorted(exclusive, key=lambda s: s.snapshot_id):
+            out = self.cherry_pick(s.snapshot_id)
+        if drop:
+            self.drop_branch(name)
+        return out if out is not None else self.current_snapshot()
+
     def changes(
         self,
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
+        cdc: bool = False,
+        key_cols: list[str] | None = None,
     ) -> DataFrame:
-        """Incremental append scan (Iceberg-style incremental read): the rows
-        APPENDED after ``from_snapshot_id`` up to and including
+        """Incremental read of the snapshot range ``(from, to]``.
+
+        ``cdc=False`` (default) — incremental APPEND scan (Iceberg-style):
+        the rows appended after ``from_snapshot_id`` up to and including
         ``to_snapshot_id`` (default: current). This is what lets a
         downstream pipeline consume a 10^12-doc table incrementally — read
         O(new data) per run instead of re-scanning the table.
-
         Only appends emit rows. Content-neutral rewrites in the range
         (compaction, clustering, manifest/DV maintenance) are skipped —
         they move bytes, not rows. A snapshot that CHANGES the logical row
         set (merge, overwrite, delete) makes the range inexpressible as
-        inserts-only and raises; consumers should read those via full
-        scans at the boundary snapshots. Deletes committed AT OR BEFORE
-        ``to`` still mask emitted rows (read_files applies ``to``'s
-        registry), so a consumer never sees rows that were already dead at
-        its read point.
+        inserts-only and raises; pass ``cdc=True`` for those. Deletes
+        committed AT OR BEFORE ``to`` still mask emitted rows (read_files
+        applies ``to``'s registry), so a consumer never sees rows that
+        were already dead at its read point.
+
+        ``cdc=True`` — row-level CHANGE DATA FEED across ANY operations
+        (the per-snapshot changelog Iceberg derives in
+        ``create_changelog_view`` and Delta records as CDF): the result
+        carries the table columns plus ``_change_type`` (insert /
+        update_before / update_after / delete) and
+        ``_commit_snapshot_id``. Per row-set-changing snapshot the delta
+        is computed by diffing ONLY the files that snapshot touched —
+        removed files and files whose effective delete entries changed,
+        read at the parent, against files it added (plus the same
+        delete-touched files), read at the snapshot; ``exceptAll`` cancels
+        the rows a copy-on-write rewrite carried over unchanged, so the
+        cost is O(files touched), never O(table). With ``key_cols`` (e.g.
+        the MERGE key) a delete and an insert of the same key within one
+        snapshot are classified as an ``update_before``/``update_after``
+        pair; without, they stay delete+insert. Replaying the feed
+        (apply deletes, add inserts, per ``_commit_snapshot_id`` in order)
+        onto the ``from`` snapshot reproduces the ``to`` snapshot exactly.
         """
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StringType, StructField
+
         to_snap = self._resolve_snapshot(to_snapshot_id)
+        schema = self.schema() if self.exists() else None
+        cdc_schema = (
+            StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_snapshot_id", LongType(), False),
+                ]
+            )
+            if schema is not None
+            else None
+        )
         if to_snap is None:
-            return self.spark.createDataFrame([], self.schema())
+            return self.spark.createDataFrame(
+                [], cdc_schema if cdc else schema
+            )
         if from_snapshot_id > to_snap.snapshot_id:
             raise ValueError(
                 f"changes(): from={from_snapshot_id} is newer than "
@@ -1224,8 +1555,11 @@ class IcehouseTable:
                 f"changes(): snapshot {from_snapshot_id} is not an ancestor "
                 f"of {to_snap.snapshot_id} (expired or staged lineage)"
             )
+        ordered = sorted(in_range, key=lambda s: s.snapshot_id)
+        if cdc:
+            return self._changes_cdc(ordered, by_id, cdc_schema, key_cols)
         added: list[DataFile] = []
-        for s in sorted(in_range, key=lambda s: s.snapshot_id):
+        for s in ordered:
             if s.operation == "append":
                 added += [
                     f
@@ -1238,10 +1572,118 @@ class IcehouseTable:
             else:
                 raise ValueError(
                     f"changes(): snapshot {s.snapshot_id} is a "
-                    f"{s.operation!r} — the range is not append-only; scan "
-                    f"the boundary snapshots instead"
+                    f"{s.operation!r} — the range is not append-only; pass "
+                    f"cdc=True for a row-level change feed, or scan the "
+                    f"boundary snapshots"
                 )
         return self.read_files(added, snapshot=to_snap)
+
+    def _changes_cdc(
+        self,
+        ordered: list[Snapshot],
+        by_id: dict[int, Snapshot],
+        cdc_schema: StructType,
+        key_cols: list[str] | None,
+    ) -> DataFrame:
+        """The cdc=True engine of :meth:`changes` — see its docstring."""
+        from pyspark.sql import functions as F
+
+        cols = [f.name for f in cdc_schema.fields[:-2]]
+
+        def _tag(df: DataFrame, ctype: str, sid: int) -> DataFrame:
+            return df.select(*cols).withColumn(
+                "_change_type", F.lit(ctype)
+            ).withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
+
+        def _added_files(s: Snapshot) -> list[DataFile]:
+            return [
+                f
+                for e in self.manifest_entries_of(s)
+                for f in self._read_manifest(e["path"])
+                if f.added_by == s.snapshot_id
+            ]
+
+        def _eff_deletes(reg: dict, f: DataFile):
+            """A file's effective delete state under a registry — DV entry
+            content plus the equality entries that cover it (sequence
+            semantics as in read_files)."""
+            ent = reg["entries"].get(f.path)
+            eqs = tuple(sorted(
+                (e["path"], e["seq"])
+                for e in reg["eq"]
+                if (f.added_by or 0) <= e["seq"]
+            ))
+            return (json.dumps(ent, sort_keys=True), eqs)
+
+        parts: list[DataFrame] = []
+        for s in ordered:
+            if s.operation.startswith(self._CONTENT_NEUTRAL_OPS):
+                continue
+            added = _added_files(s)
+            if s.operation == "append":
+                if added:
+                    parts.append(
+                        _tag(self.read_files(added, snapshot=s), "insert",
+                             s.snapshot_id)
+                    )
+                continue
+            parent = (
+                by_id.get(s.parent_id) if s.parent_id is not None else None
+            )
+            parent_files = self.live_files(parent) if parent else []
+            s_paths = {f.path for f in self.live_files(s)}
+            removed = [f for f in parent_files if f.path not in s_paths]
+            p_reg = (
+                self.delete_registry_full(parent)
+                if parent else {"entries": {}, "eq": []}
+            )
+            s_reg = self.delete_registry_full(s)
+            touched = [
+                f for f in parent_files
+                if f.path in s_paths
+                and _eff_deletes(p_reg, f) != _eff_deletes(s_reg, f)
+            ]
+            before_files = removed + touched
+            after_files = added + touched
+            before = (
+                self.read_files(before_files, snapshot=parent).select(*cols)
+                if before_files
+                else self.spark.createDataFrame([], StructType(cdc_schema.fields[:-2]))
+            )
+            after = (
+                self.read_files(after_files, snapshot=s).select(*cols)
+                if after_files
+                else self.spark.createDataFrame([], StructType(cdc_schema.fields[:-2]))
+            )
+            dels = before.exceptAll(after)
+            ins = after.exceptAll(before)
+            if key_cols:
+                # keys deleted AND inserted in the same snapshot are updates
+                upd_keys = (
+                    dels.select(*key_cols).distinct()
+                    .join(ins.select(*key_cols).distinct(), key_cols, "inner")
+                )
+                parts += [
+                    _tag(dels.join(upd_keys, key_cols, "left_semi"),
+                         "update_before", s.snapshot_id),
+                    _tag(dels.join(upd_keys, key_cols, "left_anti"),
+                         "delete", s.snapshot_id),
+                    _tag(ins.join(upd_keys, key_cols, "left_semi"),
+                         "update_after", s.snapshot_id),
+                    _tag(ins.join(upd_keys, key_cols, "left_anti"),
+                         "insert", s.snapshot_id),
+                ]
+            else:
+                parts += [
+                    _tag(dels, "delete", s.snapshot_id),
+                    _tag(ins, "insert", s.snapshot_id),
+                ]
+        if not parts:
+            return self.spark.createDataFrame([], cdc_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def row_count(self, snapshot_id: int | None = None) -> int:
         """COUNT(*) from metadata alone when possible: manifest row totals
@@ -1264,11 +1706,13 @@ class IcehouseTable:
     def _resolve_snapshot(self, snapshot_id: int | str | None) -> Snapshot | None:
         if snapshot_id is None:
             return self.current_snapshot()
-        if isinstance(snapshot_id, str):  # a tag name
-            tagged = self.refs().get(snapshot_id)
-            if tagged is None:
-                raise ValueError(f"unknown tag {snapshot_id!r}")
-            snapshot_id = tagged
+        if isinstance(snapshot_id, str):  # a tag or branch name
+            named = self.refs().get(snapshot_id)
+            if named is None:
+                named = self.branches().get(snapshot_id)
+            if named is None:
+                raise ValueError(f"unknown tag or branch {snapshot_id!r}")
+            snapshot_id = named
         for s in self.snapshots():
             if s.snapshot_id == snapshot_id:
                 return s

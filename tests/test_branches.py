@@ -1,0 +1,131 @@
+"""Writable branches: multi-commit isolation, CAS vs main, publish, expiry.
+
+The branch primitive extends round-4's single-commit WAP staging to whole
+workflows: N commits land on ``branch.<name>`` while readers of main see
+nothing, then fast_forward/merge_branch publishes atomically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_lakehouse_spark.datagen import generate_pages
+from ecommerce_lakehouse_spark.maintenance import expire_snapshots
+from ecommerce_lakehouse_spark.table import CommitConflict, IcehouseTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = generate_pages(spark, 200, seed=31, partitions=2)
+    return IcehouseTable.create(spark, str(tmp_path / "t"), df)
+
+
+def test_multi_commit_branch_then_fast_forward(spark, table):
+    table.create_branch("audit")
+    table.append(generate_pages(spark, 50, seed=32, partitions=1), branch="audit")
+    table.append(generate_pages(spark, 25, seed=33, partitions=1), branch="audit")
+    # main is untouched; the branch sees both commits
+    assert table.scan().count() == 200
+    assert table.scan(snapshot_id="audit").count() == 275
+    # audit passed: publish is a pointer move, no data rewritten
+    table.fast_forward("audit")
+    assert table.scan().count() == 275
+    table.drop_branch("audit")
+    assert "audit" not in table.branches()
+
+
+def test_branch_commits_never_lose_main_commits(spark, table):
+    """Main and branch writers interleave on the one CAS counter — every
+    commit lands, neither lineage loses an update."""
+    table.create_branch("b")
+    table.append(generate_pages(spark, 10, seed=34, partitions=1), branch="b")
+    table.append(generate_pages(spark, 20, seed=35, partitions=1))  # main
+    table.append(generate_pages(spark, 5, seed=36, partitions=1), branch="b")
+    assert table.scan().count() == 220
+    assert table.scan(snapshot_id="b").count() == 215
+    # diverged: fast-forward must refuse (main is no ancestor of the head)
+    with pytest.raises(CommitConflict, match="merge_branch"):
+        table.fast_forward("b")
+
+
+def test_merge_branch_cherry_picks_appends_after_divergence(spark, table):
+    table.create_branch("b")
+    table.append(generate_pages(spark, 10, seed=34, partitions=1), branch="b")
+    table.append(generate_pages(spark, 20, seed=35, partitions=1))  # main
+    table.append(generate_pages(spark, 5, seed=36, partitions=1), branch="b")
+    table.merge_branch("b")
+    # all three appends present exactly once (double-apply would overshoot)
+    assert table.scan().count() == 235
+    assert "b" not in table.branches()
+
+
+def test_branch_overwrite_isolated_from_main(spark, table):
+    table.create_branch("rewrite")
+    new = generate_pages(spark, 40, seed=37, partitions=1)
+    removed = [f.path for f in table.live_files(table._resolve_snapshot("rewrite"))]
+    table.replace_files(removed, new, operation="overwrite", branch="rewrite")
+    assert table.scan().count() == 200
+    assert table.scan(snapshot_id="rewrite").count() == 40
+    table.fast_forward("rewrite")
+    assert table.scan().count() == 40
+
+
+def test_expire_retains_branch_lineage(spark, table):
+    import time
+
+    table.create_branch("keep")
+    table.append(generate_pages(spark, 30, seed=38, partitions=1), branch="keep")
+    table.append(generate_pages(spark, 10, seed=39, partitions=1))  # main
+    table.append(generate_pages(spark, 15, seed=40, partitions=1), branch="keep")
+    # aggressive expiry: age cutoff in the future sweeps everything not
+    # pinned — branch-exclusive snapshots must survive it
+    expire_snapshots(
+        table, keep_last=1, older_than_ms=int(time.time() * 1000) + 60_000,
+        orphan_grace_ms=0,
+    )
+    assert table.scan(snapshot_id="keep").count() == 245
+    assert table.scan().count() == 210
+    # publish still works after expiry
+    table.merge_branch("keep")
+    assert table.scan().count() == 255
+
+
+def test_dsv2_branch_read_and_write(spark, table):
+    from ecommerce_lakehouse_spark.sources.datasource import register
+
+    register(spark)
+    table.create_branch("wip")
+    (
+        generate_pages(spark, 35, seed=41, partitions=1)
+        .write.format("icehouse").mode("append")
+        .option("path", table.path).option("branch", "wip").save()
+    )
+    main_df = spark.read.format("icehouse").load(table.path)
+    wip_df = (
+        spark.read.format("icehouse")
+        .option("branch", "wip").load(table.path)
+    )
+    assert main_df.count() == 200
+    assert wip_df.count() == 235
+    table.fast_forward("wip")
+    assert spark.read.format("icehouse").load(table.path).count() == 235
+
+
+def test_branch_write_to_unknown_branch_raises(spark, table):
+    with pytest.raises(ValueError, match="unknown branch"):
+        table.append(generate_pages(spark, 5, seed=42, partitions=1),
+                     branch="nope")
+
+
+def test_merge_branch_refuses_diverged_nonappend(spark, table):
+    table.create_branch("b")
+    # a row-set-changing commit ON THE BRANCH while main moves
+    new = generate_pages(spark, 10, seed=43, partitions=1)
+    head_files = [
+        f.path for f in table.live_files(table._resolve_snapshot("b"))
+    ]
+    table.replace_files(head_files[:1], new, operation="replace", branch="b")
+    table.append(generate_pages(spark, 5, seed=44, partitions=1))  # main
+    with pytest.raises(CommitConflict, match="non-append"):
+        table.merge_branch("b")

@@ -177,3 +177,67 @@ def test_dsv2_write_onto_bucketed_table_stays_correct(spark, tmp_path):
     assert tbl.scan().filter(F.col("lang") == "qq").count() == 3
     s = tbl.current_snapshot().summary
     assert s["merge_candidates_scanned"] < s["merge_candidates_global"]
+
+
+def test_bucket_spec_evolution_8_to_16_routes_both_generations(spark, bucketed):
+    """VERDICT r04 #8: set_bucket_spec(16) is a metadata-only commit — no
+    rewrite — and MERGE discovery keeps cutting candidates on BOTH file
+    generations by hashing source keys under each generation's modulus."""
+    from ecommerce_lakehouse_spark.table.format import bucket_spec_of_file
+
+    gen1 = {f.path for f in bucketed.live_files()}
+    bucketed.set_bucket_spec("url", 16)
+    assert bucketed.bucket_spec() == ("url", 16)
+    # no data rewritten by the spec change
+    assert {f.path for f in bucketed.live_files()} == gen1
+
+    bucketed.append(generate_pages(spark, 600, seed=42, partitions=3))
+    specs = {bucket_spec_of_file(f)[2] for f in bucketed.live_files()}
+    assert specs == {8, 16}, f"both generations present: {specs}"
+    new_files = [f for f in bucketed.live_files()
+                 if bucket_spec_of_file(f)[2] == 16]
+    assert all(0 <= bucket_spec_of_file(f)[0] < 16 for f in new_files)
+
+    # point-merge on a handful of keys: routing must cut discovery across
+    # the mixed-generation candidate set
+    urls = sorted(r.url for r in bucketed.scan().select("url")
+                  .distinct().collect())
+    band = urls[:3] + urls[-3:]
+    delta = dedup_latest(
+        bucketed.scan().filter(F.col("url").isin(band))
+        .withColumn("text", F.concat(F.lit("rev10 "), F.col("text"))),
+        ["url"], "warc_ts",
+    )
+    n_target = bucketed.scan().filter(F.col("url").isin(band)).count()
+    res = merge_into(bucketed, delta, "url")
+    assert res.rows_updated == n_target
+    s = bucketed.current_snapshot().summary
+    assert s["merge_candidates_scanned"] < s["merge_candidates_global"], (
+        f"routing must prune across generations: {s}"
+    )
+    assert bucketed.scan().count() == 1200
+
+
+def test_bucket_spec_evolution_compaction_never_mixes_generations(spark, bucketed):
+    """Compaction bins must not merge bucket b of n=8 with bucket b of n=16
+    — the output tag would lie about one generation's key set."""
+    from ecommerce_lakehouse_spark.table.format import bucket_spec_of_file
+
+    bucketed.set_bucket_spec("url", 16)
+    bucketed.append(generate_pages(spark, 600, seed=43, partitions=3))
+    bins = plan_compaction(bucketed, target_file_bytes=1 << 30)
+    for b in bins:
+        assert len({bucket_spec_of_file(f) for f in b.files}) == 1
+    compact(bucketed, target_file_bytes=1 << 30)
+    assert bucketed.scan().count() == 1200
+    # post-compaction files still carry exact single-generation tags
+    for f in bucketed.live_files():
+        bkt, key, n = bucket_spec_of_file(f)
+        if bkt is not None and n is not None:
+            got = (
+                spark.read.schema(bucketed.schema())
+                .parquet(f"{bucketed.path}/{f.path}")
+                .select(bucket_id_expr("url", n).alias("b"))
+                .distinct().collect()
+            )
+            assert {r.b for r in got} == {bkt}

@@ -184,3 +184,113 @@ def test_approx_distinct_error_within_contract(spark):
     ).collect()
     for r in got:
         assert abs(r.a - r.e) <= HLL_ERROR_BOUND * r.e, (r.g, r.a, r.e)
+
+
+def test_lsh_max_bucket_size_bounds_hot_buckets(spark):
+    """VERDICT r04 #6: a degenerate LSH band bucket (k near-identical docs
+    hashing to one bucket) must not emit k²/2 pairs — buckets above the cap
+    are dropped pre-join, while genuinely similar pairs in normal-sized
+    buckets still surface."""
+    from ecommerce_lakehouse_spark.functions.dedup import minhash_lsh_candidates
+
+    # 50 byte-identical docs → identical signatures → one bucket per band
+    rows = [(i, "identical boilerplate page body repeated everywhere")
+            for i in range(50)]
+    # a planted near-dup pair with distinct text (its own small buckets)
+    rows.append((1000, "the quick brown fox jumps over the lazy dog tonight"))
+    rows.append((1001, "the quick brown fox jumps over the lazy dog today"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = minhash_lsh_candidates(df, "text", "doc_id", max_bucket_size=10)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    # the hot group is suppressed (50*49/2 = 1225 pairs uncapped)
+    assert all(a >= 1000 for a, _b in pairs), f"hot-bucket pairs leaked: {sorted(pairs)[:5]}"
+    assert (1000, 1001) in pairs, "planted near-dup must survive the cap"
+
+    uncapped = minhash_lsh_candidates(df, "text", "doc_id", max_bucket_size=None)
+    assert uncapped.count() >= 1225
+
+
+def test_lsh_default_max_bucket_is_finite(spark, monkeypatch):
+    """Calling minhash_lsh_candidates WITHOUT the cap must apply the finite
+    default — the unbounded bucket blowup is opt-in via None."""
+    import ecommerce_lakehouse_spark.functions.dedup as D
+
+    assert isinstance(D.DEFAULT_LSH_MAX_BUCKET, int)
+    rows = [(i, "same text every single time for this test corpus")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    monkeypatch.setattr(D, "DEFAULT_LSH_MAX_BUCKET", 5)
+    assert D.minhash_lsh_candidates(df, "text", "doc_id").count() == 0
+    assert D.minhash_lsh_candidates(
+        df, "text", "doc_id", max_bucket_size=None
+    ).count() == 30 * 29 // 2
+
+
+def test_xxhash64_production_mode_pair_parity(spark):
+    """VERDICT r04 #7: the production hash family (xxhash64 int64 min-hash,
+    JVM-side band hashing) must find the same near-dup pairs as the
+    oracle-checkable md5 path on a planted corpus — the swap is
+    parameter-level, not structural."""
+    from ecommerce_lakehouse_spark.functions.dedup import minhash_lsh_candidates
+
+    rows = []
+    for i in range(20):
+        # id-bearing word at every other position: no 3-gram shingle is
+        # shared between docs, so neither hash family can band-collide them
+        rows.append((i, f"a{i} x b{i} y c{i} z d{i} w e{i}"))
+    # planted exact-dup cluster and the same text twice more
+    for j, i in enumerate((100, 101, 102)):
+        rows.append((i, "an identical page body that repeats verbatim everywhere"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    md5_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, "text", "doc_id").collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            df, "text", "doc_id", hash_mode="xxhash64"
+        ).collect()
+    }
+    planted = {(100, 101), (100, 102), (101, 102)}
+    assert planted <= md5_pairs
+    assert planted <= xx_pairs
+    assert md5_pairs == xx_pairs
+
+
+def test_simhash_xxhash64_full_width(spark):
+    """64-bit production simhash: identical docs collide exactly; a
+    one-word edit stays within a small hamming radius; md5 mode refuses
+    widths it cannot carry."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ecommerce_lakehouse_spark.functions.dedup import hamming16, simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "the quick brown fox jumps over the lazy cat again and again"),
+            (4, "completely different content about spark table maintenance"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", simhash(F.col("text"), bits=64, hash_mode="xxhash64").alias("sh")
+        ).collect()
+    }
+    assert out[1] == out[2]
+    ham = df.select(
+        hamming16(
+            simhash(F.lit("the quick brown fox jumps over the lazy dog again and again"), 64, "xxhash64"),
+            simhash(F.lit("the quick brown fox jumps over the lazy cat again and again"), 64, "xxhash64"),
+        ).alias("h")
+    ).collect()[0].h
+    assert 0 < ham <= 24, f"one-word edit moved {ham} of 64 bits"
+    with _pytest.raises(ValueError, match="xxhash64"):
+        df.select(simhash(F.col("text"), bits=64, hash_mode="md5"))

@@ -375,3 +375,41 @@ def test_expire_keeps_pending_staged_snapshots(spark, pages_table):
                      older_than_ms=staged.timestamp_ms + 10_000)
     with pytest.raises(ValueError, match="unknown snapshot"):
         pages_table.scan(snapshot_id=staged.snapshot_id)
+
+
+def test_cherry_pick_twice_refused_even_after_compaction(spark, pages_table):
+    """ADVICE r04: the live-files guard alone is defeated once compaction
+    rewrites the first applied copy out of live_files — the parent-chain
+    summary scan must still refuse the second apply."""
+    from ecommerce_lakehouse_spark.maintenance import compact
+
+    staged = pages_table.append(
+        generate_pages(spark, 15, seed=71, partitions=1), publish=False
+    )
+    pages_table.append(generate_pages(spark, 5, seed=72, partitions=1))
+    pages_table.cherry_pick(staged.snapshot_id)
+    n = pages_table.scan().count()
+    compact(pages_table, target_file_bytes=64 * 1024 * 1024)
+    assert pages_table.scan().count() == n
+    with pytest.raises(ValueError, match="already cherry-picked"):
+        pages_table.cherry_pick(staged.snapshot_id)
+    assert pages_table.scan().count() == n
+
+
+def test_expire_sweeps_consumed_staged_snapshots(spark, pages_table):
+    """ADVICE r04: a staged original already consumed by cherry_pick is
+    permanently off-chain — default expiry (no age cutoff) must reclaim
+    it instead of pinning it forever as 'pending publish'."""
+    from ecommerce_lakehouse_spark.maintenance import expire_snapshots
+
+    staged = pages_table.append(
+        generate_pages(spark, 12, seed=73, partitions=1), publish=False
+    )
+    pages_table.append(generate_pages(spark, 5, seed=74, partitions=1))
+    pages_table.cherry_pick(staged.snapshot_id)
+    n = pages_table.scan().count()
+    expire_snapshots(pages_table, keep_last=1, orphan_grace_ms=0)
+    # consumed staged snapshot is gone; the cherry-picked data survives
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        pages_table.scan(snapshot_id=staged.snapshot_id)
+    assert pages_table.scan().count() == n
