@@ -21,7 +21,10 @@ Built on PySpark 4's Python Data Source API:
 Options: path (required), snapshot_id (optional time travel), tag
 (optional named ref — see IcehouseTable.create_tag), branch (optional
 mutable ref — reads the branch head; on write, commits advance the branch
-pointer instead of main — see IcehouseTable.create_branch).
+pointer instead of main — see IcehouseTable.create_branch),
+incremental_from (optional snapshot id: plan only files APPENDED after it
+— the append-only changes() range as a reader; raises on row-set-changing
+snapshots in the range, use IcehouseTable.changes(cdc=True) for those).
 
 Trade-off vs `IcehouseTable.scan()`: scan() hands Spark a native parquet
 relation (JVM vectorized reader, whole-stage codegen into the scan), while
@@ -104,6 +107,14 @@ class IcehouseReader(DataSourceReader):
             int(options["snapshot_id"]) if options.get("snapshot_id")
             else options.get("tag") or options.get("branch") or None
         )
+        # incremental_from: append-only changes((from, to]) as a reader —
+        # the O(new data) consumption surface (IcehouseTable.changes);
+        # combine with snapshot_id/tag to pin `to`
+        low = {k.lower(): v for k, v in options.items()}
+        self._incremental_from = (
+            int(low["incremental_from"])
+            if low.get("incremental_from") is not None else None
+        )
         self._schema = schema
         self._predicates: list[Predicate] = []
 
@@ -128,9 +139,21 @@ class IcehouseReader(DataSourceReader):
         spark = SparkSession.getActiveSession()
         table = IcehouseTable(spark, self._path)
         snap = table._resolve_snapshot(self._snapshot_id)
-        files = table.planned_files(
-            self._predicates or None, snapshot_id=self._snapshot_id
-        )
+        if self._incremental_from is not None:
+            # append-only incremental read: plan ONLY files added after
+            # `from`; pushed predicates still prune them by stats
+            from ..table.predicates import prune_files
+
+            inc_files, snap = table.incremental_files(
+                self._incremental_from, self._snapshot_id
+            )
+            files = prune_files(
+                inc_files, table._stats_predicates(self._predicates or None)
+            )
+        else:
+            files = table.planned_files(
+                self._predicates or None, snapshot_id=self._snapshot_id
+            )
         reg = table.delete_registry(snap)
         eq = table.eq_deletes(snap)
         import os

@@ -1558,6 +1558,13 @@ class IcehouseTable:
         ordered = sorted(in_range, key=lambda s: s.snapshot_id)
         if cdc:
             return self._changes_cdc(ordered, by_id, cdc_schema, key_cols)
+        return self.read_files(
+            self._appended_files(ordered), snapshot=to_snap
+        )
+
+    def _appended_files(self, ordered: list[Snapshot]) -> list[DataFile]:
+        """The file list an append-only incremental range reduces to (also
+        the DSv2 ``incremental_from`` planning surface)."""
         added: list[DataFile] = []
         for s in ordered:
             if s.operation == "append":
@@ -1576,7 +1583,31 @@ class IcehouseTable:
                     f"cdc=True for a row-level change feed, or scan the "
                     f"boundary snapshots"
                 )
-        return self.read_files(added, snapshot=to_snap)
+        return added
+
+    def incremental_files(
+        self, from_snapshot_id: int, to_snapshot_id: int | str | None = None
+    ) -> tuple[list[DataFile], "Snapshot"]:
+        """(files appended in ``(from, to]``, the ``to`` snapshot) — the
+        planning form of append-only :meth:`changes` for file-level readers
+        (DSv2 ``incremental_from``); deletes registered at ``to`` still
+        apply to the returned files."""
+        to_snap = self._resolve_snapshot(to_snapshot_id)
+        if to_snap is None:
+            return [], None
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        in_range: list[Snapshot] = []
+        cur: Snapshot | None = to_snap
+        while cur is not None and cur.snapshot_id != from_snapshot_id:
+            in_range.append(cur)
+            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+        if cur is None and from_snapshot_id != 0:
+            raise ValueError(
+                f"changes(): snapshot {from_snapshot_id} is not an ancestor "
+                f"of {to_snap.snapshot_id} (expired or staged lineage)"
+            )
+        ordered = sorted(in_range, key=lambda s: s.snapshot_id)
+        return self._appended_files(ordered), to_snap
 
     def _changes_cdc(
         self,

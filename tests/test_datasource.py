@@ -283,3 +283,40 @@ def test_dsv2_reads_tagged_snapshot(spark, tmp_path):
     got = spark.read.format("icehouse").option("tag", "v1").load(tbl.path)
     assert got.count() == 100
     assert spark.read.format("icehouse").load(tbl.path).count() == 130
+
+
+def test_incremental_from_reads_only_appended_rows(spark, tmp_path):
+    """.option('incremental_from', id): the O(new data) consumption surface
+    — only files appended after `id` are planned, compaction in the range
+    is silent, and deletes registered at the read point still apply."""
+    from ecommerce_lakehouse_spark.maintenance import compact
+    from ecommerce_lakehouse_spark.table import Predicate, delete_where
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 200, seed=96, partitions=2),
+    )
+    base_snap = tbl.current_snapshot().snapshot_id
+    tbl.append(generate_pages(spark, 60, seed=97, partitions=1))
+    compact(tbl, target_file_bytes=64 * 1024 * 1024)
+    register(spark)
+
+    inc = (
+        spark.read.format("icehouse")
+        .option("incremental_from", base_snap).load(tbl.path)
+    )
+    assert rows_of(inc) == rows_of(tbl.changes(base_snap))
+    assert inc.count() == 60
+
+    # a row-set-changing snapshot in the range makes the append-only read
+    # inexpressible — planning must raise, mirroring changes()
+    victim = tbl.changes(base_snap).select("url").orderBy("url").first().url
+    delete_where(tbl, [Predicate("url", "in", (victim,))])
+    inc2 = (
+        spark.read.format("icehouse")
+        .option("incremental_from", base_snap).load(tbl.path)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="append-only"):
+        inc2.count()
