@@ -26,6 +26,10 @@ incremental_from (optional snapshot id: plan only files APPENDED after it
 — the append-only changes() range as a reader; raises on row-set-changing
 snapshots in the range, use IcehouseTable.changes(cdc=True) for those).
 
+Streaming: ``spark.readStream.format("icehouse")`` consumes appends per
+micro-batch with snapshot-id offsets (see IcehouseStreamReader) — options
+starting_snapshot_id and skip_row_changes.
+
 Trade-off vs `IcehouseTable.scan()`: scan() hands Spark a native parquet
 relation (JVM vectorized reader, whole-stage codegen into the scan), while
 this path decodes parquet in Python workers through Arrow. Correctness and
@@ -41,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -154,20 +159,7 @@ class IcehouseReader(DataSourceReader):
             files = table.planned_files(
                 self._predicates or None, snapshot_id=self._snapshot_id
             )
-        reg = table.delete_registry(snap)
-        eq = table.eq_deletes(snap)
-        import os
-
-        parts = [
-            IcehouseFilePartition(
-                os.path.join(table.path, f.path),
-                [os.path.join(table.path, dv)
-                 for dv in (reg.get(f.path) or {}).get("dvs", [])],
-                [(os.path.join(table.path, e["path"]), e["key_col"])
-                 for e in eq if (f.added_by or 0) <= e["seq"]],
-            )
-            for f in files
-        ]
+        parts = _file_partitions(table, files, snap)
         # stats can legitimately prune EVERY file; Spark then invokes read()
         # with a None partition, so hand it an explicit empty sentinel
         return parts or [IcehouseFilePartition(None)]
@@ -175,58 +167,85 @@ class IcehouseReader(DataSourceReader):
     # -- execution (executor side, Arrow-batched) ---------------------------
 
     def read(self, partition: IcehouseFilePartition):
-        import os
+        yield from _read_partition_arrow(partition, self._schema)
 
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        want = to_arrow_schema(self._schema)
-        if partition is None or partition.path is None:
-            # every file was stats-pruned: an empty result, typed correctly
-            yield from pa.table(
-                {f.name: pa.nulls(0, type=f.type) for f in want},
-                schema=want,
-            ).to_batches()
-            return
-        tbl = pq.read_table(
-            partition.path,
-            columns=[n for n in want.names if n in set(
-                pq.read_schema(partition.path).names
-            )],
+def _file_partitions(table, files, snap) -> list:
+    """One IcehouseFilePartition per data file, carrying the DV sidecars
+    and applicable equality deletes of ``snap``'s registry (shared by the
+    batch and streaming readers)."""
+    import os
+
+    reg = table.delete_registry(snap)
+    eq = table.eq_deletes(snap)
+    return [
+        IcehouseFilePartition(
+            os.path.join(table.path, f.path),
+            [os.path.join(table.path, dv)
+             for dv in (reg.get(f.path) or {}).get("dvs", [])],
+            [(os.path.join(table.path, e["path"]), e["key_col"])
+             for e in eq if (f.added_by or 0) <= e["seq"]],
         )
-        if getattr(partition, "dv_paths", None):
-            # merge-on-read: drop this file's deleted row positions
-            fname = os.path.basename(partition.path)
-            dv = pq.read_table(partition.dv_paths, columns=["fname", "pos"])
-            dv = dv.filter(pc.equal(dv.column("fname"), fname))
-            if dv.num_rows:
-                # vectorized keep-mask: positions-index is_in, no O(rows)
-                # Python loop on the read path (VERDICT r03 #2)
-                idx = pa.array(np.arange(tbl.num_rows, dtype=np.int64))
-                keep = pc.invert(
-                    pc.is_in(idx, value_set=dv.column("pos").cast(pa.int64()))
-                )
-                tbl = tbl.filter(keep)
-        for eq_path, key_col in getattr(partition, "eq_deletes", []) or []:
-            # equality deletes applicable to this file's commit sequence
-            if key_col not in tbl.column_names:
-                continue
-            keys = pq.read_table(eq_path, columns=[key_col]).column(key_col)
-            mask = pc.invert(pc.is_in(tbl.column(key_col), value_set=keys))
-            tbl = tbl.filter(pc.fill_null(mask, True))
-        n = tbl.num_rows
-        cols = []
-        for field in want:
-            if field.name in tbl.column_names:
-                cols.append(tbl.column(field.name).cast(field.type))
-            else:
-                # schema evolution: files older than a widening null-fill
-                cols.append(pa.nulls(n, type=field.type))
-        out = pa.table(cols, schema=want)
-        yield from out.to_batches(max_chunksize=65536)
+        for f in files
+    ]
+
+
+def _read_partition_arrow(partition, schema: StructType):
+    """Arrow-batched read of one file partition with DV/equality deletes
+    applied and schema-evolution null-fill — the one executor-side read
+    kernel behind both format("icehouse") batch reads and readStream."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    want = to_arrow_schema(schema)
+    if partition is None or partition.path is None:
+        # every file was stats-pruned: an empty result, typed correctly
+        yield from pa.table(
+            {f.name: pa.nulls(0, type=f.type) for f in want},
+            schema=want,
+        ).to_batches()
+        return
+    tbl = pq.read_table(
+        partition.path,
+        columns=[n for n in want.names if n in set(
+            pq.read_schema(partition.path).names
+        )],
+    )
+    if getattr(partition, "dv_paths", None):
+        # merge-on-read: drop this file's deleted row positions
+        fname = os.path.basename(partition.path)
+        dv = pq.read_table(partition.dv_paths, columns=["fname", "pos"])
+        dv = dv.filter(pc.equal(dv.column("fname"), fname))
+        if dv.num_rows:
+            # vectorized keep-mask: positions-index is_in, no O(rows)
+            # Python loop on the read path (VERDICT r03 #2)
+            idx = pa.array(np.arange(tbl.num_rows, dtype=np.int64))
+            keep = pc.invert(
+                pc.is_in(idx, value_set=dv.column("pos").cast(pa.int64()))
+            )
+            tbl = tbl.filter(keep)
+    for eq_path, key_col in getattr(partition, "eq_deletes", []) or []:
+        # equality deletes applicable to this file's commit sequence
+        if key_col not in tbl.column_names:
+            continue
+        keys = pq.read_table(eq_path, columns=[key_col]).column(key_col)
+        mask = pc.invert(pc.is_in(tbl.column(key_col), value_set=keys))
+        tbl = tbl.filter(pc.fill_null(mask, True))
+    n = tbl.num_rows
+    cols = []
+    for field in want:
+        if field.name in tbl.column_names:
+            cols.append(tbl.column(field.name).cast(field.type))
+        else:
+            # schema evolution: files older than a widening null-fill
+            cols.append(pa.nulls(n, type=field.type))
+    out = pa.table(cols, schema=want)
+    yield from out.to_batches(max_chunksize=65536)
 
 
 # --------------------------------------------------------------- write path
@@ -412,6 +431,100 @@ class IcehouseDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> IcehouseWriter:
         return IcehouseWriter(dict(self.options), schema, overwrite)
+
+    def streamReader(self, schema: StructType) -> "IcehouseStreamReader":  # noqa: N802
+        return IcehouseStreamReader(dict(self.options), schema)
+
+
+class IcehouseStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("icehouse")`` — the table as a streaming
+    SOURCE (Iceberg/Delta streaming-read analog): each micro-batch consumes
+    the snapshots committed since the last batch, planned as one partition
+    per appended file (executors read them through the same Arrow kernel
+    as the batch path). Offsets are snapshot ids, so the checkpoint makes
+    consumption exactly-once and a restart resumes from the committed
+    snapshot — the streaming form of ``changes()``.
+
+    Options: ``path`` (required); ``starting_snapshot_id`` — first batch
+    reads ``(starting, current]`` (default 0 = the whole table);
+    ``skip_row_changes`` ("true"/"false", default false) — a snapshot that
+    CHANGES the logical row set (merge/delete/overwrite) fails the stream
+    by default (an appends-only consumer would silently miss the
+    deletes); with the flag, such snapshots are skipped with only their
+    APPENDED files emitted (Iceberg's streaming-skip-delete-snapshots
+    semantics) and the batch CDC feed (``changes(cdc=True)``) is the
+    consistent way to consume them."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("icehouse: .load(path) is required")
+        low = {k.lower(): v for k, v in options.items()}
+        self._start = int(low.get("starting_snapshot_id") or 0)
+        self._skip_row_changes = (
+            str(low.get("skip_row_changes", "false")).lower() == "true"
+        )
+        self._schema = schema
+
+    def _table(self):
+        from pyspark.sql import SparkSession
+
+        from ..table.format import IcehouseTable
+
+        spark = (
+            SparkSession.getActiveSession()
+            or SparkSession.builder.getOrCreate()
+        )
+        return IcehouseTable(spark, self._path)
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"snapshot_id": self._start}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        table = self._table()
+        snap = table.current_snapshot() if table.exists() else None
+        latest = snap.snapshot_id if snap is not None else self._start
+        return {"snapshot_id": max(latest, self._start)}
+
+    def partitions(self, start: dict, end: dict):
+        table = self._table()
+        lo, hi = start["snapshot_id"], end["snapshot_id"]
+        if hi <= lo:
+            return [IcehouseFilePartition(None)]
+        to_snap = table._resolve_snapshot(hi)
+        by_id = {s.snapshot_id: s for s in table.snapshots()}
+        in_range = []
+        cur = to_snap
+        while cur is not None and cur.snapshot_id != lo:
+            in_range.append(cur)
+            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+        if cur is None and lo != 0:
+            raise ValueError(
+                f"icehouse stream: snapshot {lo} is not an ancestor of "
+                f"{hi} (expired before the stream consumed it — lower the "
+                f"expiry cadence or restart the stream)"
+            )
+        ordered = sorted(in_range, key=lambda s: s.snapshot_id)
+        if self._skip_row_changes:
+            files = []
+            for s in ordered:
+                if s.operation == "append":
+                    files += [
+                        f
+                        for e in table.manifest_entries_of(s)
+                        for f in table._read_manifest(e["path"])
+                        if f.added_by == s.snapshot_id
+                    ]
+        else:
+            files = table._appended_files(ordered)
+        parts = _file_partitions(table, files, to_snap)
+        return parts or [IcehouseFilePartition(None)]
+
+    def read(self, partition: IcehouseFilePartition):
+        yield from _read_partition_arrow(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the stream's checkpoint, not the table
 
 
 def register(spark) -> None:
