@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
@@ -316,6 +317,13 @@ class IcehouseWriter(DataSourceArrowWriter):
 
     # -- driver side ---------------------------------------------------------
     def commit(self, messages):
+        self._commit_batch(messages)
+
+    def _commit_batch(self, messages, txn: tuple | None = None):
+        """Shared atomic-append/overwrite commit; ``txn=(app_id, batch_id)``
+        makes streaming epoch commits exactly-once (IcehouseTable txn
+        dedup — a replayed epoch is skipped and its staged files orphaned
+        for the sweep)."""
         from pyspark.sql import SparkSession
 
         from ..table.format import DataFile, IcehouseTable
@@ -342,7 +350,7 @@ class IcehouseWriter(DataSourceArrowWriter):
                       table.ledger_dir):
                 os.makedirs(d, exist_ok=True)
             table._commit("append", added, set(),
-                          schema_json=self._schema.jsonValue())
+                          schema_json=self._schema.jsonValue(), txn=txn)
             return
         widened = table.reconcile_schema(self._schema, self._merge_schema)
         schema_json = widened.jsonValue() if widened is not None else None
@@ -367,10 +375,12 @@ class IcehouseWriter(DataSourceArrowWriter):
             if self._overwrite:
                 removed = {f.path for f in self._base_live(table)}
                 table._commit("overwrite", restaged, removed,
-                              schema_json=schema_json, ref=self._branch)
+                              schema_json=schema_json, ref=self._branch,
+                              txn=txn)
             else:
                 table._commit("append", restaged, set(),
-                              schema_json=schema_json, ref=self._branch)
+                              schema_json=schema_json, ref=self._branch,
+                              txn=txn)
             for f in added:  # the untagged originals never joined the table
                 try:
                     os.unlink(os.path.join(table.path, f.path))
@@ -380,10 +390,10 @@ class IcehouseWriter(DataSourceArrowWriter):
         if self._overwrite:
             removed = {f.path for f in self._base_live(table)}
             table._commit("overwrite", added, removed,
-                          schema_json=schema_json, ref=self._branch)
+                          schema_json=schema_json, ref=self._branch, txn=txn)
         else:
             table._commit("append", added, set(), schema_json=schema_json,
-                          ref=self._branch)
+                          ref=self._branch, txn=txn)
 
     def _base_live(self, table):
         """The files an overwrite replaces: the BRANCH head's when writing
@@ -434,6 +444,43 @@ class IcehouseDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "IcehouseStreamReader":  # noqa: N802
         return IcehouseStreamReader(dict(self.options), schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        if overwrite:
+            raise ValueError(
+                "icehouse streaming sink supports append output mode only"
+            )
+        return IcehouseStreamWriter(dict(self.options), schema)
+
+
+class IcehouseStreamWriter(IcehouseWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("icehouse")`` — the table as a streaming
+    SINK. Each epoch stages per-task parquet files (the inherited Arrow
+    write path, bucket-aware re-staging included) and commits them as ONE
+    atomic snapshot stamped with ``txn=(app_id, batch_id)`` — the engine's
+    Delta-style transaction dedup — so a replayed epoch after a failure
+    commits nothing twice: at-least-once delivery from the stream engine
+    becomes exactly-once in the table. ``txn_app_id`` option namespaces
+    multiple streams writing the same table (default: one writer per
+    table); ``branch`` lands epochs on a branch."""
+
+    def __init__(self, options: dict, schema: StructType):
+        super().__init__(options, schema, overwrite=False)
+        low = {k.lower(): v for k, v in options.items()}
+        self._app_id = low.get("txn_app_id") or "icehouse-streamwrite"
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N802
+        self._commit_batch(messages, txn=(self._app_id, batchId))
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N802
+        import os
+
+        for m in messages:
+            if m is not None and getattr(m, "rel_path", None):
+                try:
+                    os.unlink(os.path.join(self._path, m.rel_path))
+                except OSError:
+                    pass
 
 
 class IcehouseStreamReader(DataSourceStreamReader):

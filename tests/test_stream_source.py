@@ -99,3 +99,45 @@ def test_stream_source_fails_on_row_set_change_unless_skipped(spark, tmp_path):
         starting_snapshot_id=str(2),
     )
     assert out.count() == 10
+
+
+def test_stream_sink_icehouse_to_icehouse_exactly_once(spark, tmp_path):
+    """Dogfood pipeline: icehouse source → icehouse SINK. Each epoch lands
+    as one txn-stamped snapshot; re-draining with the same checkpoint adds
+    nothing, and the sink's snapshot txn property records the epoch."""
+    src = IcehouseTable.create(
+        spark, str(tmp_path / "src"),
+        generate_pages(spark, 90, seed=88, partitions=2),
+    )
+    register(spark)
+    sink_path = str(tmp_path / "sinktbl")
+    ckpt = str(tmp_path / "ck5")
+
+    def drain():
+        q = (
+            spark.readStream.format("icehouse").load(src.path)
+            .writeStream.format("icehouse")
+            .option("path", sink_path)
+            .option("txn_app_id", "teststream")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    sink = IcehouseTable(spark, sink_path)
+    assert sink.row_count() == 90
+
+    src.append(generate_pages(spark, 25, seed=89, partitions=1))
+    drain()
+    assert sink.row_count() == 115
+    got = sorted((r.url, r.text) for r in sink.scan().select("url", "text").collect())
+    want = sorted((r.url, r.text) for r in src.scan().select("url", "text").collect())
+    assert got == want
+    # epoch ids recorded through the txn property (exactly-once evidence)
+    assert sink.last_txn_version("teststream") is not None
+    # an idle re-drain commits nothing
+    v = sink.current_version()
+    drain()
+    assert sink.current_version() == v
