@@ -43,6 +43,9 @@ def main() -> None:
         "the pending backlog availableNow-style; crash-resume via ledger.",
     )
     ap.add_argument("--loop-poll-sec", type=float, default=2.0)
+    ap.add_argument("--fsck", action="store_true",
+                    help="validate table integrity after maintenance "
+                         "(metadata-sized; see table/validate.py)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -113,6 +116,14 @@ def main() -> None:
         metrics["rewrite_deletes"] = dv_snap.summary
 
     rewrite_manifests(tbl)
+    if args.fsck:
+        from ecommerce_lakehouse_spark.table.validate import fsck
+
+        rep = fsck(tbl)
+        metrics["fsck"] = rep.to_json()
+        if not rep.ok:
+            print(json.dumps(metrics))
+            raise SystemExit(2)
     if not args.skip_expire:
         res = expire_snapshots(tbl, keep_last=args.keep_snapshots)
         metrics["expire"] = {
