@@ -121,6 +121,33 @@ def _bucket_candidates(candidates, src_keys: DataFrame, key: str, n: int,
     return kept
 
 
+def _sketch_candidates(candidates, src_keys: DataFrame, key: str):
+    """Drop candidate files whose key SKETCH (table/format: k-bit bitmap of
+    pmod(xxhash64(key), k), opt-in via sketch.cols) intersects no source
+    key — zero data read, layout-independent (works where interval routing
+    self-disables and without the bucket layout). The probe is one narrow
+    distinct over the deduped key set (≤ SKETCH_BITS rows). Files without
+    a sketch (pre-property lineage, compaction outputs) are always kept."""
+    from ..table.format import SKETCH_STAT_PREFIX, _sketch_hits
+
+    stat = f"{SKETCH_STAT_PREFIX}{key}"
+    if not any(f.stats.get(stat) for f in candidates):
+        return candidates
+    from ..table.format import sketch_position_expr
+
+    positions = [
+        r["__p"]
+        for r in src_keys.select(sketch_position_expr(key).alias("__p"))
+        .distinct().collect()
+        if r["__p"] is not None
+    ]
+    return [
+        f for f in candidates
+        if not f.stats.get(stat)
+        or _sketch_hits(f.stats[stat]["b64"], positions)
+    ]
+
+
 def _interval_candidates(candidates, src_keys: DataFrame, key: str):
     """Refine global-bounds candidates using the PER-FILE key intervals.
 
@@ -410,6 +437,10 @@ def merge_into(
         # this is what keeps the discovery read O(touched ranges) instead of
         # O(candidates); composite keys route on keys[0] (superset-safe)
         candidates = _interval_candidates(candidates, src_keys, keys[0])
+    if candidates:
+        # key-sketch routing (opt-in sketch.cols): the layout-independent
+        # cut — zero data read on any layout, superset-safe
+        candidates = _sketch_candidates(candidates, src_keys, keys[0])
     if salt_buckets:
         # Deterministic salt spreads one hot key across buckets for the
         # discovery join; the probe side is exploded to all bucket values.

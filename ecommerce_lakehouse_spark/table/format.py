@@ -64,6 +64,43 @@ BUCKET_N_PROP = "bucket.n"
 BUCKET_STAT = "__bucket"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# ------------------------------------------------------- file key sketches
+# Opt-in (table property "sketch.cols": comma-separated key columns):
+# each staged file's manifest stats carry a k-bit membership bitmap of
+# pmod(xxhash64(col), k) over the file's values — a file-level bloom-ish
+# sketch. MERGE discovery then drops files whose sketch intersects no
+# source-key hash with ZERO data read, on ANY layout: parquet blooms need
+# a per-file open, interval routing needs clustering, bucket tags need the
+# hash layout — the sketch is the layout-independent gap-filler. False
+# positives only (a file is never wrongly dropped); files without a
+# sketch (pre-property lineage, compaction outputs) are always kept.
+SKETCH_COLS_PROP = "sketch.cols"
+SKETCH_STAT_PREFIX = "__sketch:"
+SKETCH_BITS = 2048
+
+
+def _sketch_b64(positions) -> str:
+    import base64
+
+    buf = bytearray(SKETCH_BITS // 8)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(buf)).decode()
+
+
+def _sketch_hits(b64: str, positions) -> bool:
+    import base64
+
+    buf = base64.b64decode(b64)
+    return any(buf[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
+def sketch_position_expr(col: str):
+    """The sketch hash — MUST match at write and discovery time."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(SKETCH_BITS)).cast("int")
+
 
 def bucket_id_expr(key: str, n: int):
     """The bucket function — MUST be identical at write and discovery time:
@@ -659,9 +696,13 @@ class IcehouseTable:
         collected = stats_mod.collect_stats(
             self.spark, [p for p, _b in moved], stats_cols
         )
+        sketches = self._collect_sketches(props, df.columns, [p for p, _b in moved])
         out = []
         for c in collected:
             st = c["stats"]
+            fname = os.path.basename(c["path"])
+            if fname in sketches:
+                st = {**st, **sketches[fname]}
             b = bucket_by_path.get(c["path"])
             if b is not None:
                 # the tag records the WRITE-TIME spec (key + modulus) so
@@ -679,6 +720,44 @@ class IcehouseTable:
                     added_by=snapshot_id,
                 )
             )
+        return out
+
+    def _collect_sketches(
+        self, props: dict, columns: list[str], paths: list[str]
+    ) -> dict[str, dict]:
+        """{file basename: {__sketch:<col>: {bits, b64}}} for the staged
+        files, when the table opts in via ``sketch.cols``. One extra Spark
+        job over the KEY COLUMNS of the just-staged files (tiny vs the
+        payload); the driver receives ≤ SKETCH_BITS distinct positions per
+        (file, column) — metadata-sized."""
+        from pyspark.sql import functions as F
+
+        cols = [
+            x.strip() for x in (props.get(SKETCH_COLS_PROP) or "").split(",")
+            if x.strip() and x.strip() in columns
+        ]
+        if not cols or not paths:
+            return {}
+        sk = self.spark.read.parquet(*paths).select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__f"),
+            *[sketch_position_expr(c).alias(f"__p{i}")
+              for i, c in enumerate(cols)],
+        )
+        agg = sk.groupBy("__f").agg(
+            *[F.collect_set(f"__p{i}").alias(f"__s{i}")
+              for i in range(len(cols))]
+        )
+        out: dict[str, dict] = {}
+        for r in agg.collect():
+            out[r["__f"]] = {
+                f"{SKETCH_STAT_PREFIX}{c}": {
+                    "bits": SKETCH_BITS,
+                    "b64": _sketch_b64(r[f"__s{i}"]),
+                }
+                for i, c in enumerate(cols)
+            }
         return out
 
     @staticmethod
