@@ -49,6 +49,7 @@ def plan_compaction(
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     small_file_ratio: float = SMALL_FILE_RATIO,
     min_bin_files: int = 2,
+    snapshot=None,
 ) -> list[CompactionBin]:
     """First-fit-decreasing pack of small files into ≈target-size bins.
 
@@ -62,7 +63,7 @@ def plan_compaction(
 
     threshold = int(target_file_bytes * small_file_ratio)
     small = sorted(
-        (f for f in table.live_files() if f.size_bytes < threshold),
+        (f for f in table.live_files(snapshot) if f.size_bytes < threshold),
         key=lambda f: f.size_bytes,
         reverse=True,
     )
@@ -163,10 +164,17 @@ def compact(
     min_bin_files: int = 2,
     max_concurrency: int = 8,
     stats_cols: list[str] | None = None,
+    branch: str | None = None,
 ) -> Snapshot | None:
-    """Compact small files; returns the new snapshot (None if nothing to do)."""
-    snap = table.current_snapshot()
-    bins = plan_compaction(table, target_file_bytes, small_file_ratio, min_bin_files)
+    """Compact small files; returns the new snapshot (None if nothing to
+    do). ``branch`` compacts the branch head and advances the branch
+    pointer — maintenance as a write-audit-publish workflow."""
+    snap = (
+        table._resolve_snapshot(branch) if branch is not None
+        else table.current_snapshot()
+    )
+    bins = plan_compaction(table, target_file_bytes, small_file_ratio,
+                           min_bin_files, snapshot=snap)
     if not bins:
         return None
     plan_repr = ";".join(f"{b.bin_id}:{','.join(f.path for f in b.files)}" for b in bins)
@@ -203,6 +211,7 @@ def compact(
         None,
         operation="compact",
         precomputed_added=added,
+        branch=branch,
         base_delete_registry=table.delete_registry_full(snap),
         extra_summary={
             "compacted_bins": len(bins),

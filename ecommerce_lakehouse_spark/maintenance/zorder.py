@@ -90,8 +90,9 @@ def _scoped_files(
     table: IcehouseTable,
     scope: str,
     predicates: list[Predicate] | None,
+    snapshot=None,
 ) -> list[DataFile]:
-    files = table.live_files()
+    files = table.live_files(snapshot)
     if scope == "incremental":
         last = last_cluster_snapshot_id(table)
         if last is not None:
@@ -116,6 +117,7 @@ def zorder_by(
     scope: str = "full",
     predicates: list[Predicate] | None = None,
     extra_cols: list[str] | None = None,
+    branch: str | None = None,
 ) -> Snapshot | None:
     """Rewrite the scoped file set clustered by curve(url-coord, warc_ts,
     *extra_cols).
@@ -146,8 +148,13 @@ def zorder_by(
     else:
         kernel = morton_k_udf if curve == "morton" else hilbert_k_udf
 
-    base_snap = table.current_snapshot()
-    files = _scoped_files(table, scope, predicates)
+    base_snap = (
+        table._resolve_snapshot(branch) if branch is not None
+        else table.current_snapshot()
+    )
+    if branch is not None and scope != "full":
+        raise ValueError("branch clustering supports scope='full' only")
+    files = _scoped_files(table, scope, predicates, snapshot=base_snap)
     if not files:
         return None
     total_bytes = sum(f.size_bytes for f in files)
@@ -275,6 +282,7 @@ def zorder_by(
         operation=f"cluster-{curve}",
         target_partitions=n_out,
         cluster_by=["__zcode"],
+        branch=branch,
         base_delete_registry=table.delete_registry_full(base_snap),
         extra_summary={
             "cluster_curve": curve,

@@ -359,6 +359,7 @@ def merge_into(
     salt_buckets: int | None = None,
     target_file_rows: int | None = None,
     merge_schema: bool = False,
+    branch: str | None = None,
 ) -> MergeResult:
     """Copy-on-write MERGE of ``source`` into ``table`` on key equality.
 
@@ -377,7 +378,10 @@ def merge_into(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     # pin the snapshot the rewrite reads through: the commit validates that
     # no delete vectors landed on the rewritten files after this point
-    base_snap = table.current_snapshot()
+    base_snap = (
+        table._resolve_snapshot(branch) if branch is not None
+        else table.current_snapshot()
+    )
     base_registry = table.delete_registry_full(base_snap)
     schema = table.schema()
     widened = None
@@ -592,6 +596,7 @@ def merge_into(
         None,
         operation="merge",
         precomputed_added=added,
+        branch=branch,
         base_delete_registry=base_registry,
         schema_json=widened.jsonValue() if widened is not None else None,
         extra_summary={

@@ -43,6 +43,14 @@ def main() -> None:
         "the pending backlog availableNow-style; crash-resume via ledger.",
     )
     ap.add_argument("--loop-poll-sec", type=float, default=2.0)
+    ap.add_argument("--branch", default=None,
+                    help="run the whole maintenance pass on a BRANCH head "
+                         "(write-audit-publish): commits advance the "
+                         "branch, main is untouched until --publish")
+    ap.add_argument("--publish", action="store_true",
+                    help="with --branch: fast-forward/merge the branch "
+                         "into main after a clean pass (and --fsck, if "
+                         "given, gates it)")
     ap.add_argument("--fsck", action="store_true",
                     help="validate table integrity after maintenance "
                          "(metadata-sized; see table/validate.py)")
@@ -64,6 +72,9 @@ def main() -> None:
     # on a cluster, master/conf come from spark-submit
     spark = SparkSession.builder.appName("icehouse-maintenance").getOrCreate()
     tbl = IcehouseTable(spark, args.table)
+    if args.branch and args.branch not in tbl.branches():
+        tbl.create_branch(args.branch)
+        metrics["branch_created"] = args.branch
     target = args.target_file_mb * 1024 * 1024
     metrics: dict = {"table": args.table}
 
@@ -82,7 +93,7 @@ def main() -> None:
     if args.merge_delta:
         t0 = time.time()
         delta = spark.read.parquet(args.merge_delta)
-        res = merge_into(tbl, delta, args.merge_key)
+        res = merge_into(tbl, delta, args.merge_key, branch=args.branch)
         metrics["merge"] = {
             "sec": round(time.time() - t0, 2),
             "updated": res.rows_updated,
@@ -92,7 +103,7 @@ def main() -> None:
 
     if not args.skip_compact:
         t0 = time.time()
-        snap = compact(tbl, target_file_bytes=target)
+        snap = compact(tbl, target_file_bytes=target, branch=args.branch)
         metrics["compact"] = {
             "sec": round(time.time() - t0, 2),
             "ran": snap is not None,
@@ -102,7 +113,8 @@ def main() -> None:
     if args.curve != "none":
         t0 = time.time()
         snap = zorder_by(tbl, curve=args.curve, target_file_bytes=target,
-                         scope=args.cluster_scope)
+                         scope="full" if args.branch else args.cluster_scope,
+                         branch=args.branch)
         metrics["cluster"] = {
             "sec": round(time.time() - t0, 2),
             "ran": snap is not None,
@@ -110,12 +122,13 @@ def main() -> None:
         }
 
     # DV maintenance: consolidate positional sidecars, retire spent
-    # equality entries (no-op when the table has no delete registry)
-    dv_snap = rewrite_delete_vectors(tbl)
-    if dv_snap is not None:
-        metrics["rewrite_deletes"] = dv_snap.summary
-
-    rewrite_manifests(tbl)
+    # equality entries (no-op when the table has no delete registry).
+    # Branch passes skip main-scoped metadata maintenance.
+    if not args.branch:
+        dv_snap = rewrite_delete_vectors(tbl)
+        if dv_snap is not None:
+            metrics["rewrite_deletes"] = dv_snap.summary
+        rewrite_manifests(tbl)
     if args.fsck:
         from ecommerce_lakehouse_spark.table.validate import fsck
 
@@ -124,7 +137,17 @@ def main() -> None:
         if not rep.ok:
             print(json.dumps(metrics))
             raise SystemExit(2)
-    if not args.skip_expire:
+    if args.branch and args.publish:
+        # audit passed (fsck, if requested): publish the branch
+        tbl.merge_branch(args.branch)
+        metrics["published_branch"] = args.branch
+    if args.branch and not args.publish:
+        metrics["branch"] = {
+            "name": args.branch,
+            "head": tbl.branches().get(args.branch),
+            "rows": tbl.row_count(tbl.branches().get(args.branch)),
+        }
+    if not args.skip_expire and not (args.branch and not args.publish):
         res = expire_snapshots(tbl, keep_last=args.keep_snapshots)
         metrics["expire"] = {
             "expired": len(res.expired_snapshots),

@@ -129,3 +129,45 @@ def test_merge_branch_refuses_diverged_nonappend(spark, table):
     table.append(generate_pages(spark, 5, seed=44, partitions=1))  # main
     with pytest.raises(CommitConflict, match="non-append"):
         table.merge_branch("b")
+
+
+def test_branch_scoped_maintenance_then_publish(spark, table):
+    """Write-audit-publish MAINTENANCE: merge+compact+zorder run against a
+    branch head and advance only the branch; main readers see nothing
+    until fast_forward."""
+    from ecommerce_lakehouse_spark.maintenance import compact, zorder_by
+    from ecommerce_lakehouse_spark.operators.merge import dedup_latest, merge_into
+
+    before = sorted(
+        (r.url, r.text) for r in table.scan().select("url", "text").collect()
+    )
+    table.create_branch("maint")
+    delta = dedup_latest(
+        table.scan().limit(20).withColumn(
+            "text", F.concat(F.lit("maint "), F.col("text"))
+        ),
+        ["url"], "warc_ts",
+    )
+    res = merge_into(table, delta, "url", branch="maint")
+    assert res.rows_updated == 20
+    compact(table, target_file_bytes=1 << 30, branch="maint")
+    zorder_by(table, curve="morton", target_file_bytes=1 << 20,
+              branch="maint")
+    # main is byte-identical through the whole pass
+    after_main = sorted(
+        (r.url, r.text) for r in table.scan().select("url", "text").collect()
+    )
+    assert after_main == before
+    # the branch carries the merged + rewritten state
+    branch_rows = sorted(
+        (r.url, r.text)
+        for r in table.scan(snapshot_id="maint").select("url", "text").collect()
+    )
+    assert branch_rows != before
+    assert len(branch_rows) == len(before)
+    assert sum(1 for _u, t in branch_rows if t.startswith("maint ")) == 20
+    # publish: pointer move only
+    table.fast_forward("maint")
+    assert sorted(
+        (r.url, r.text) for r in table.scan().select("url", "text").collect()
+    ) == branch_rows
