@@ -175,3 +175,27 @@ def test_cdc_append_only_mode_still_raises_on_merge(spark, cdc_table):
     merge_into(cdc_table, delta, "url")
     with pytest.raises(ValueError, match="cdc=True"):
         cdc_table.changes(1)
+
+
+def test_cdc_over_branch_range(spark, cdc_table):
+    """changes(to_snapshot_id="branch") resolves the branch head: a
+    downstream consumer can audit a branch's pending row-level changes
+    BEFORE publish — CDC as the WAP audit tool."""
+    cdc_table.create_branch("b")
+    base = cdc_table.branches()["b"]  # the fork point ON the branch lineage
+    delta = dedup_latest(
+        generate_recrawl_delta(spark, base_n=300, n_new=5, n_recrawl=15,
+                               seed=21, partitions=1),
+        ["url"], "warc_ts",
+    )
+    merge_into(cdc_table, delta, "url", branch="b")
+    feed = cdc_table.changes(base, to_snapshot_id="b", cdc=True,
+                             key_cols=["url"])
+    counts = {
+        r._change_type: r["count"]
+        for r in feed.groupBy("_change_type").count().collect()
+    }
+    assert counts.get("insert") == 5
+    assert counts.get("update_before") == counts.get("update_after") == 15
+    # main has no changes in that range
+    assert cdc_table.changes(base, cdc=True).count() == 0
