@@ -25,10 +25,10 @@ N_SMALL, N_BIG = 2, 8
 
 
 def run_once(cores: int, workdir: str, n_pages: int) -> dict:
-    env = {**os.environ, "SPARK_DRIVER_MEMORY": "16g"}
+    env = {**os.environ, "SPARK_DRIVER_MEMORY": "48g"}
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "scaling.py"), str(cores), workdir, str(n_pages)],
-        capture_output=True, text=True, env=env, timeout=1200,
+        capture_output=True, text=True, env=env, timeout=5400,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
