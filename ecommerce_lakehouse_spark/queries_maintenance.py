@@ -377,6 +377,98 @@ FROM merged WHERE url IN (SELECT url FROM victims)
 """
 
 
+def m_branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish via a BRANCH: the SCD1 merge runs on branch
+    'audit' (main untouched — asserted), then fast_forward publishes by
+    pointer move. The final scan must be hash-identical to the same merge
+    run directly on main (oracle: the latest-wins full-outer join) —
+    proving branch isolation + publish lose and duplicate nothing."""
+    from .operators.merge import dedup_latest, merge_into
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "merge_base", 4)
+        )
+        n_before = tbl.row_count()
+        tbl.create_branch("audit")
+        delta = dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        )
+        merge_into(tbl, delta, "url", branch="audit")
+        assert tbl.row_count() == n_before  # main untouched mid-audit
+        tbl.fast_forward("audit")
+        return _pages_out(tbl.scan()).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def m_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 merge over a SKETCHED, round-robin-layout table (sketch.cols:
+    every file spans the whole key range, so the 2048-bit key sketch is
+    the only discovery cut). The result must be hash-identical to the
+    plain merge — a wrongly-dropped file would lose updates and fail the
+    oracle."""
+    from .operators.merge import dedup_latest, merge_into
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        base = _read_fixture(spark, "merge_base", 1).repartition(6)
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", base, properties={"sketch.cols": "url"}
+        )
+        delta = dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        )
+        merge_into(tbl, delta, "url")
+        return _pages_out(tbl.scan()).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def m_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC feed REPLAYED is the table: apply changes(0, cdc=True) of a
+    create+merge history commit-by-commit (delete update_before rows, add
+    update_after/insert rows) and return the replayed state — which must
+    hash-match the post-merge table the oracle states relationally. This
+    is the downstream-consumer contract of the change feed."""
+    from pyspark.sql import functions as FF
+
+    from .operators.merge import dedup_latest, merge_into
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "merge_base", 4)
+        )
+        delta = dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        )
+        merge_into(tbl, delta, "url")
+        feed = tbl.changes(0, cdc=True, key_cols=["url"]).localCheckpoint()
+        cols = [f.name for f in tbl.schema().fields]
+        sids = sorted(
+            r._commit_snapshot_id
+            for r in feed.select("_commit_snapshot_id").distinct().collect()
+        )
+        state = spark.createDataFrame([], tbl.schema())
+        for sid in sids:
+            batch = feed.filter(FF.col("_commit_snapshot_id") == sid)
+            dels = batch.filter(
+                FF.col("_change_type").isin("delete", "update_before")
+            ).select(*cols)
+            ins = batch.filter(
+                FF.col("_change_type").isin("insert", "update_after")
+            ).select(*cols)
+            state = state.exceptAll(dels).unionByName(ins)
+        return _pages_out(state).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
@@ -385,4 +477,9 @@ MAINTENANCE_REGISTRY: dict = {
     "m_delete_vectors_pages": (m_delete_vectors_pages, SQL_M_DELETE_VECTORS),
     "m_incremental_changes": (m_incremental_changes, SQL_M_INCREMENTAL_CHANGES),
     "m_changes_cdc": (m_changes_cdc, SQL_M_CHANGES_CDC),
+    # the three round-5 surfaces below must each land the table in exactly
+    # the post-SCD1-merge state — one relational oracle pins all of them
+    "m_branch_wap_publish": (m_branch_wap_publish, SQL_M_MERGE_SCD1),
+    "m_sketch_merge": (m_sketch_merge, SQL_M_MERGE_SCD1),
+    "m_cdc_replay": (m_cdc_replay, SQL_M_MERGE_SCD1),
 }
