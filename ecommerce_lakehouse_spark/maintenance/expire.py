@@ -88,8 +88,18 @@ def expire_snapshots(
             for s in chain
             if s.summary.get("cherry_picked_from") is not None
         }
+        # snapshots stamped with a branch name whose branch no longer
+        # exists are abandoned by drop_branch — ordinary expirable
+        # history, not pending-publish stages
+        live_branches = set(table.branches())
         retained_ids |= {
-            s.snapshot_id for s in staged if s.snapshot_id not in consumed
+            s.snapshot_id
+            for s in staged
+            if s.snapshot_id not in consumed
+            and not (
+                s.summary.get("branch")
+                and s.summary["branch"] not in live_branches
+            )
         }
     # tagged snapshots are pinned: a named ref (create_tag) means someone
     # depends on that exact row set — expiry never sweeps it

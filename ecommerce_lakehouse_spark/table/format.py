@@ -1043,6 +1043,11 @@ class IcehouseTable:
 
             snapshot_id = version + 1
             manifest_list_rel = self._write_manifest_list(new_entries)
+            if ref is not None:
+                # stamp branch commits: expiry uses this to tell a
+                # DROPPED branch's abandoned snapshots from pending WAP
+                # stages (which stay pinned until an age cutoff)
+                extra_summary = {**(extra_summary or {}), "branch": ref}
             summary = {
                 "added_files": len(added),
                 "added_rows": sum(f.row_count for f in added),
@@ -1395,6 +1400,33 @@ class IcehouseTable:
             properties={f"{self.REF_PROP}{name}": None},  # tombstone
             extra_summary={"ref_dropped": name},
         )
+
+    def rollback_to(self, snapshot_id: int | str) -> Snapshot:
+        """Move main's current pointer BACK to an ancestor snapshot
+        (Iceberg's rollback_to_snapshot): the bad commits stay in history
+        (time-travelable, expirable later) but readers instantly see the
+        earlier state — the incident-response primitive. Only ancestors of
+        current qualify: rolling "back" to a side lineage would silently
+        merge histories; cherry_pick/fast_forward are the tools for that."""
+        target = self._resolve_snapshot(snapshot_id)
+        for _attempt in range(10):
+            version = self.current_version()
+            md = self.load_metadata(version)
+            cur = md.get("current_snapshot_id")
+            if cur == target.snapshot_id:
+                return target
+            if cur is None or not self._is_ancestor(
+                target.snapshot_id, cur
+            ):
+                raise ValueError(
+                    f"rollback_to: snapshot {target.snapshot_id} is not an "
+                    f"ancestor of current {cur}"
+                )
+            md["current_snapshot_id"] = target.snapshot_id
+            if self._try_publish(version + 1, md):
+                return target
+            time.sleep(0.01 * (_attempt + 1))
+        raise CommitConflict("rollback_to: lost commit race repeatedly")
 
     BUCKET_EVOLVED_PROP = "bucket.evolved"
 

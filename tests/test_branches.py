@@ -171,3 +171,44 @@ def test_branch_scoped_maintenance_then_publish(spark, table):
     assert sorted(
         (r.url, r.text) for r in table.scan().select("url", "text").collect()
     ) == branch_rows
+
+
+def test_rollback_to_ancestor_and_refuse_side_lineage(spark, table):
+    s1 = table.current_snapshot().snapshot_id
+    table.append(generate_pages(spark, 30, seed=45, partitions=1))
+    table.append(generate_pages(spark, 20, seed=46, partitions=1))
+    assert table.scan().count() == 250
+    table.rollback_to(s1)
+    assert table.scan().count() == 200
+    # the rolled-over commits remain time-travelable
+    assert table.scan(snapshot_id=s1 + 2).count() == 250
+    # writing after a rollback forks cleanly from the restored state
+    table.append(generate_pages(spark, 5, seed=47, partitions=1))
+    assert table.scan().count() == 205
+    # a staged side snapshot is NOT an ancestor: refuse
+    staged = table.append(generate_pages(spark, 9, seed=48, partitions=1),
+                          publish=False)
+    with pytest.raises(ValueError, match="not an .*ancestor|not an ancestor"):
+        table.rollback_to(staged.snapshot_id)
+
+
+def test_expire_sweeps_dropped_branch_snapshots(spark, table):
+    """drop_branch abandons the branch-exclusive snapshots — default
+    expiry (no age cutoff) reclaims them instead of pinning them forever
+    as pending WAP stages."""
+    from ecommerce_lakehouse_spark.maintenance import expire_snapshots
+
+    table.create_branch("tmp")
+    table.append(generate_pages(spark, 30, seed=49, partitions=1), branch="tmp")
+    b_head = table.branches()["tmp"]
+    table.append(generate_pages(spark, 10, seed=50, partitions=1))  # main
+    table.drop_branch("tmp")
+    expire_snapshots(table, keep_last=1, orphan_grace_ms=0)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        table.scan(snapshot_id=b_head)
+    assert table.scan().count() == 210
+    # a LIVE branch's snapshots survive the same default expiry
+    table.create_branch("live")
+    table.append(generate_pages(spark, 7, seed=51, partitions=1), branch="live")
+    expire_snapshots(table, keep_last=1, orphan_grace_ms=0)
+    assert table.scan(snapshot_id="live").count() == 217
