@@ -105,6 +105,7 @@ def main() -> None:
         t0 = time.time()
         merge_into(tbl, delta, "url", target_file_rows=N_PAGES // CPUS)
         merge_sec = time.time() - t0
+        cold_merge_snap = tbl.current_snapshot()
         maint["merge_sec"] = round(merge_sec, 3)
         maint["merge_rows_per_sec"] = round(n_delta / merge_sec, 1)
         msum = tbl.current_snapshot().summary
@@ -129,6 +130,21 @@ def main() -> None:
         warm_sec = time.time() - t0
         maint["warm_merge_sec"] = round(warm_sec, 3)
         maint["warm_merge_rows_per_sec"] = round((N_PAGES // 10) / warm_sec, 1)
+
+        # row-level CDC feed of the COLD merge (round 5): the incremental-
+        # consumption surface — must cost O(files the merge rewrote). (The
+        # warm merge re-applies value-identical rows, so its feed is
+        # correctly empty — exceptAll cancels no-op rewrites.)
+        t0 = time.time()
+        cdc_rows = tbl.changes(
+            cold_merge_snap.parent_id,
+            to_snapshot_id=cold_merge_snap.snapshot_id,
+            cdc=True, key_cols=["url"],
+        ).count()
+        cdc_sec = time.time() - t0
+        maint["cdc_feed_sec"] = round(cdc_sec, 3)
+        maint["cdc_feed_rows"] = cdc_rows
+        maint["cdc_rows_per_sec"] = round(cdc_rows / cdc_sec, 1)
 
         # compact small files
         t0 = time.time()

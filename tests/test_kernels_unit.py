@@ -314,3 +314,31 @@ def test_hilbert_3d_is_a_true_hilbert_curve():
             assert sum(abs(a - b) for a, b in zip(ax, prev)) == 1
         prev = ax
         assert hilbert_index_k_slow(list(ax), bits) == h
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2047), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_sketch_bitmap_roundtrip_contains_all_members(positions):
+    """Every inserted position tests positive; a bitmap never false-
+    negatives (the property merge routing's correctness rests on)."""
+    from ecommerce_lakehouse_spark.table.format import _sketch_b64, _sketch_hits
+
+    b64 = _sketch_b64(positions)
+    for p in set(positions):
+        assert _sketch_hits(b64, [p])
+    if positions:
+        assert _sketch_hits(b64, positions)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=2047), max_size=100),
+    st.sets(st.integers(min_value=0, max_value=2047), max_size=100),
+)
+@settings(max_examples=200, deadline=None)
+def test_sketch_disjoint_sets_never_hit(members, probes):
+    from ecommerce_lakehouse_spark.table.format import _sketch_b64, _sketch_hits
+
+    probes = probes - members
+    b64 = _sketch_b64(members)
+    assert not _sketch_hits(b64, probes)
+    assert not _sketch_hits(b64, [])
