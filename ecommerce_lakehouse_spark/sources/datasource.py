@@ -578,3 +578,30 @@ def register(spark) -> None:
     # pushFilters requires this runtime conf (off by default in Spark 4.1)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(IcehouseDataSource)
+
+
+def register_table_views(
+    spark, path: str, name: str, snapshot_id=None
+) -> None:
+    """Register an Icehouse table for plain-SQL consumption (the
+    reference's ``spark.table("catalog.schema.t")`` ergonomics without a
+    catalog service): ``name`` is the (optionally snapshot/tag/branch-
+    pinned) scan, and the metadata suffixes ``<name>_files``,
+    ``<name>_manifests``, ``<name>_partitions``, ``<name>_history`` expose
+    the metadata tables to SQL (the Iceberg ``$files`` idiom, spelled with
+    ``_`` because ``$`` is not a valid Spark temp-view identifier). Views are temp (session-scoped) and resolve
+    the snapshot AT REGISTRATION time — re-register to see later commits
+    (deliberate: a pinned view is reproducible; auto-refresh would make
+    query results commit-dependent mid-session)."""
+    from ..table.format import IcehouseTable
+
+    table = IcehouseTable(spark, path)
+    table.scan(snapshot_id=snapshot_id).createOrReplaceTempView(name)
+    table.files(snapshot_id=snapshot_id).createOrReplaceTempView(f"{name}_files")
+    table.manifests(snapshot_id=snapshot_id).createOrReplaceTempView(
+        f"{name}_manifests"
+    )
+    table.partitions(snapshot_id=snapshot_id).createOrReplaceTempView(
+        f"{name}_partitions"
+    )
+    table.history().createOrReplaceTempView(f"{name}_history")

@@ -99,3 +99,28 @@ def test_metadata_tables_empty_table(spark, tmp_path):
     # unborn table: resolve fails cleanly rather than returning garbage
     with pytest.raises(Exception):
         t.files().collect()
+
+
+def test_register_table_views_sql_surface(spark, table):
+    """name + name_files/_manifests/_partitions/_history as SQL views."""
+    from ecommerce_lakehouse_spark.sources.datasource import register_table_views
+
+    register_table_views(spark, table.path, "pages_t")
+    assert spark.sql("SELECT count(*) AS n FROM pages_t").collect()[0].n == 300
+    got = spark.sql(
+        "SELECT sum(row_count) AS r, count(*) AS f FROM pages_t_files"
+    ).collect()[0]
+    assert (got.r, got.f) == (300, len(table.live_files()))
+    assert spark.sql(
+        "SELECT count(*) AS n FROM pages_t_history"
+    ).collect()[0].n >= 1
+    assert spark.sql(
+        "SELECT sum(n_rows) AS r FROM pages_t_manifests"
+    ).collect()[0].r == 300
+    # pinned at registration: a later append is invisible until re-register
+    from ecommerce_lakehouse_spark.datagen import generate_pages
+
+    table.append(generate_pages(spark, 10, seed=55, partitions=1))
+    assert spark.sql("SELECT count(*) AS n FROM pages_t").collect()[0].n == 300
+    register_table_views(spark, table.path, "pages_t")
+    assert spark.sql("SELECT count(*) AS n FROM pages_t").collect()[0].n == 310
