@@ -518,11 +518,13 @@ class IcehouseStreamReader(DataSourceStreamReader):
 
         from ..table.format import IcehouseTable
 
-        spark = (
-            SparkSession.getActiveSession()
-            or SparkSession.builder.getOrCreate()
-        )
-        return IcehouseTable(spark, self._path)
+        # offset/partition planning may run in the streaming-planner
+        # worker process where no session is active. Every table operation
+        # this reader performs (snapshot resolve, manifest walks, delete
+        # registry) is pure file I/O, so a None session is fine — and
+        # builder.getOrCreate() here would try to LAUNCH a JVM inside the
+        # planner process, never do that
+        return IcehouseTable(SparkSession.getActiveSession(), self._path)
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"snapshot_id": self._start}
