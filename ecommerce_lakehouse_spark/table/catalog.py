@@ -1,0 +1,347 @@
+"""Multi-table catalog with atomic cross-table transactions.
+
+Single-table commits are already linearized by the per-table version-file
+CAS (format.py). What that cannot give is a consistent view ACROSS tables:
+a pipeline that publishes ``pages`` and its ``page_audit`` side table in two
+commits exposes a window where readers see one without the other. The
+Catalog closes that window the way Iceberg's REST/Nessie catalogs do: the
+catalog — not each table's own current pointer — is the source of truth
+for readers, and its pointer map (table name -> pinned snapshot id) is
+published through the same hard-link CAS as table metadata.
+
+A multi-table transaction is two-phase:
+
+  phase 1 (stage)    every write lands on a per-txn BRANCH of its table
+                     (``branch="txn-<id>"`` — the format.py primitive), so
+                     it is isolated from main and from catalog readers,
+                     supports the full op set (append / MERGE / replace),
+                     and per-table linearization still rides the table CAS.
+  commit point       ONE catalog CAS flips every touched table's pinned
+                     snapshot to its branch head and records the txn under
+                     ``pending``. Validation re-runs inside the CAS retry
+                     loop: if any touched table's pin moved since the txn
+                     began, the commit ABORTS (CommitConflict) — snapshot
+                     isolation, first committer wins. A CAS lost to a txn
+                     over disjoint tables revalidates and retries.
+  phase 2 (publish)  idempotent and crash-recoverable: fast-forward each
+                     table's main pointer to its branch head, drop the
+                     branch, clear the pending record. A crash anywhere in
+                     phase 2 loses nothing — the data is already visible
+                     through the catalog — and :meth:`Catalog.recover`
+                     finishes the pointer moves.
+
+An aborted transaction (validation failure, or the ``with`` body raising)
+leaves only an abandoned branch; dropped-branch expiry reclaims its files.
+
+Reference anchor: the reference coordinates its multi-table gold publishes
+only by notebook ordering (reference/src/gold/master_gold_run.py) — a run
+dying between tables leaves them permanently inconsistent. This module is
+the missing transactional envelope, built from public Iceberg catalog
+semantics (REST catalog multi-table commit / Nessie).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .format import CommitConflict, IcehouseTable
+from .predicates import Predicate
+
+
+_EMPTY_MD = {"format_version": 1, "tables": {}, "pending": {}}
+
+
+class Catalog:
+    """A directory of Icehouse tables plus a CAS-published pointer map."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, "catalog")
+        self.tables_dir = os.path.join(self.path, "tables")
+
+    # ---------------------------------------------------------------- meta
+
+    def _version_file(self, v: int) -> str:
+        return os.path.join(self.meta_dir, f"v{v:010d}.catalog.json")
+
+    def current_version(self) -> int:
+        if not os.path.isdir(self.meta_dir):
+            return 0
+        return max(
+            (
+                int(f[1:11])
+                for f in os.listdir(self.meta_dir)
+                if f.endswith(".catalog.json")
+            ),
+            default=0,
+        )
+
+    def load_metadata(self, version: int | None = None) -> dict:
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            return json.loads(json.dumps(_EMPTY_MD))
+        with open(self._version_file(v)) as f:
+            return json.load(f)
+
+    def _try_publish(self, version: int, metadata: dict) -> bool:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        tmp = self._version_file(version) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(metadata, f, indent=1)
+        try:
+            os.link(tmp, self._version_file(version))  # atomic CAS on POSIX
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _cas(self, mutate, max_retries: int = 10) -> dict:
+        """Optimistic catalog commit. ``mutate(md) -> md`` revalidates and
+        rewrites the metadata per attempt; a CommitConflict IT raises is an
+        abort and propagates, while a lost CAS race revalidates and
+        retries."""
+        for _attempt in range(max_retries):
+            version = self.current_version()
+            md = mutate(self.load_metadata(version))
+            if self._try_publish(version + 1, md):
+                return md
+            time.sleep(0.01 * (_attempt + 1))
+        raise CommitConflict("catalog: lost commit race repeatedly")
+
+    # ------------------------------------------------------------- tables
+
+    def table_names(self) -> list[str]:
+        return sorted(self.load_metadata()["tables"])
+
+    def table(self, name: str) -> IcehouseTable:
+        """The LIVE (unpinned) table handle — maintenance and direct
+        inspection; catalog-consistent reads go through :meth:`read`."""
+        entry = self.load_metadata()["tables"].get(name)
+        if entry is None:
+            raise ValueError(f"unknown table {name!r}")
+        return IcehouseTable(self.spark, entry["path"])
+
+    def pinned_snapshot(self, name: str) -> int:
+        entry = self.load_metadata()["tables"].get(name)
+        if entry is None:
+            raise ValueError(f"unknown table {name!r}")
+        return entry["snapshot"]
+
+    def create_table(self, name: str, df: DataFrame, **create_kwargs) -> IcehouseTable:
+        if not name or "." in name or "/" in name:
+            raise ValueError(f"invalid table name {name!r}")
+        path = os.path.join(self.tables_dir, name)
+        tbl = IcehouseTable.create(self.spark, path, df, **create_kwargs)
+        self.register_table(name, tbl)
+        return tbl
+
+    def register_table(self, name: str, tbl: IcehouseTable) -> None:
+        """Register an existing table; the pin starts at its current
+        snapshot."""
+        snap = tbl.current_snapshot()
+        if snap is None:
+            raise ValueError(f"table at {tbl.path} has no committed snapshot")
+
+        def mutate(md: dict) -> dict:
+            if name in md["tables"]:
+                raise CommitConflict(f"table {name!r} already registered")
+            md["tables"][name] = {"path": tbl.path, "snapshot": snap.snapshot_id}
+            return md
+
+        self._cas(mutate)
+
+    def read(
+        self,
+        name: str,
+        predicates: list[Predicate] | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Catalog-consistent scan: always the PINNED snapshot, so two
+        tables read in one job reflect the same committed transaction set
+        regardless of in-flight writers."""
+        return self.table(name).scan(
+            predicates=predicates,
+            snapshot_id=self.pinned_snapshot(name),
+            columns=columns,
+        )
+
+    def refresh(self, name: str) -> int:
+        """Advance a table's pin to its live current snapshot — the opt-in
+        for writes that bypassed the catalog (direct ``tbl.append`` etc.)."""
+        snap = self.table(name).current_snapshot()
+
+        def mutate(md: dict) -> dict:
+            if name not in md["tables"]:
+                raise CommitConflict(f"unknown table {name!r}")
+            md["tables"][name]["snapshot"] = snap.snapshot_id
+            return md
+
+        self._cas(mutate)
+        return snap.snapshot_id
+
+    # ---------------------------------------------------------------- txns
+
+    def transaction(self) -> "MultiTableTransaction":
+        return MultiTableTransaction(self)
+
+    def pending_transactions(self) -> dict:
+        return dict(self.load_metadata()["pending"])
+
+    def recover(self) -> list[str]:
+        """Finish phase 2 for every pending transaction (after a writer
+        crashed between its commit point and publish). Idempotent: tables
+        whose branch is already gone are skipped. Returns txn ids
+        published."""
+        done = []
+        for txn_id, record in sorted(self.pending_transactions().items()):
+            self._publish_txn(txn_id, record)
+            done.append(txn_id)
+        return done
+
+    def _publish_txn(self, txn_id: str, record: dict) -> None:
+        """Phase 2: move each table's main pointer to the committed branch
+        head and drop the branch. Every step is idempotent — fast_forward
+        of an already-current head returns early, a missing branch means a
+        prior recover() finished that table."""
+        repinned: dict[str, int] = {}
+        for name, info in sorted(record["tables"].items()):
+            tbl = self.table(name)
+            if txn_id not in tbl.branches():
+                continue  # already published by a previous recover()
+            try:
+                tbl.fast_forward(txn_id)
+                tbl.drop_branch(txn_id)
+            except CommitConflict:
+                # A DIRECT (non-catalog) write landed on main after the txn
+                # forked. merge_branch cherry-picks an append-only branch
+                # onto the new main (and raises for row-set-changing
+                # branches — those need manual resolution; the pending
+                # record is kept so recover() can retry after it). The
+                # cherry-picked snapshots are NEW ids, so the pin must move
+                # to the merged current or it would reference a dropped
+                # branch head that expiry may later reclaim.
+                tbl.merge_branch(txn_id, drop=True)
+                repinned[name] = tbl.current_snapshot().snapshot_id
+
+        def mutate(md: dict) -> dict:
+            for name, sid in repinned.items():
+                if name in md["tables"]:
+                    md["tables"][name]["snapshot"] = sid
+            md["pending"].pop(txn_id, None)
+            return md
+
+        self._cas(mutate)
+
+
+class MultiTableTransaction:
+    """Atomic writes across catalog tables — see the module docstring for
+    the protocol. Use as a context manager::
+
+        with catalog.transaction() as txn:
+            txn.append("pages", new_pages)
+            txn.merge_into("page_audit", audit_delta, ["url"])
+        # clean exit commits; an exception aborts (nothing visible)
+    """
+
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+        self.txn_id = "txn-" + uuid.uuid4().hex[:12]
+        self._base: dict[str, int] = {}  # table -> pin at first touch
+        self._state = "open"
+
+    # ------------------------------------------------------------- staging
+
+    def _touch(self, name: str) -> IcehouseTable:
+        if self._state != "open":
+            raise RuntimeError(f"transaction is {self._state}")
+        tbl = self.catalog.table(name)
+        if name not in self._base:
+            base = self.catalog.pinned_snapshot(name)
+            tbl.create_branch(self.txn_id, snapshot_id=base)
+            self._base[name] = base
+        return tbl
+
+    def append(self, name: str, df: DataFrame, **kwargs):
+        return self._touch(name).append(df, branch=self.txn_id, **kwargs)
+
+    def merge_into(self, name: str, source: DataFrame, key_cols, **kwargs):
+        from ..operators.merge import merge_into
+
+        return merge_into(
+            self._touch(name), source, key_cols, branch=self.txn_id, **kwargs
+        )
+
+    def replace_files(self, name: str, removed_paths, new_df, **kwargs):
+        return self._touch(name).replace_files(
+            removed_paths, new_df, branch=self.txn_id, **kwargs
+        )
+
+    def read(self, name: str, **kwargs) -> DataFrame:
+        """Read-your-own-writes: the txn's branch head when touched, else
+        the catalog pin."""
+        if name in self._base:
+            tbl = self.catalog.table(name)
+            return tbl.scan(snapshot_id=tbl.branches()[self.txn_id], **kwargs)
+        return self.catalog.read(name, **kwargs)
+
+    # -------------------------------------------------------------- commit
+
+    def commit(self) -> None:
+        if self._state != "open":
+            raise RuntimeError(f"transaction is {self._state}")
+        if not self._base:
+            self._state = "committed"
+            return
+        heads = {
+            name: self.catalog.table(name).branches()[self.txn_id]
+            for name in self._base
+        }
+        record = {"tables": {n: {"head": h} for n, h in heads.items()}}
+
+        def mutate(md: dict) -> dict:
+            for name, base in self._base.items():
+                pin = md["tables"].get(name, {}).get("snapshot")
+                if pin != base:
+                    raise CommitConflict(
+                        f"txn {self.txn_id}: table {name!r} moved "
+                        f"({base} -> {pin}) since this transaction began — "
+                        f"first committer wins; retry against the new state"
+                    )
+            for name, head in heads.items():
+                md["tables"][name]["snapshot"] = head
+            md["pending"][self.txn_id] = record
+            return md
+
+        try:
+            self.catalog._cas(mutate)  # <-- the atomic commit point
+        except CommitConflict:
+            self.abort()
+            raise
+        self._state = "committed"
+        self.catalog._publish_txn(self.txn_id, record)
+
+    def abort(self) -> None:
+        if self._state != "open":
+            return
+        for name in self._base:
+            try:
+                self.catalog.table(name).drop_branch(self.txn_id)
+            except (ValueError, CommitConflict):
+                pass  # best-effort: an orphan branch is reclaimed by expiry
+        self._state = "aborted"
+
+    def __enter__(self) -> "MultiTableTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            self.abort()
+        elif self._state == "open":
+            self.commit()
