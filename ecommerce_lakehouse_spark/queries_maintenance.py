@@ -469,6 +469,73 @@ def m_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def m_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic cross-table transaction (table/catalog.py): ONE catalog
+    commit gives pages the SCD1 merge and audit the new-url rows. Mid-txn
+    the catalog must still serve the pre-txn state of BOTH tables
+    (asserted); after commit, the union of both catalog reads must
+    hash-match the oracle's relational statement of (latest-wins merged
+    pages) ∪ (audit ∪ new urls) — a torn commit (one table updated, the
+    other not) fails the value hash. Reference anchor: master_gold_run.py
+    publishes its gold tables with NO cross-table atomicity."""
+    from .operators.merge import dedup_latest
+    from .table import Catalog
+
+    d = _fresh_dir()
+    try:
+        cat = Catalog(spark, f"{d}/cat")
+        base = _read_fixture(spark, "merge_base", 4)
+        delta = dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        )
+        cat.create_table("pages", base)
+        cat.create_table("audit", delta)
+        n_pages, n_audit = cat.read("pages").count(), cat.read("audit").count()
+        with cat.transaction() as txn:
+            txn.merge_into("pages", delta, ["url"])
+            txn.append("audit", delta.join(base, "url", "left_anti"))
+            # the commit point has not passed: catalog readers still see
+            # the pre-transaction state of BOTH tables
+            assert cat.read("pages").count() == n_pages
+            assert cat.read("audit").count() == n_audit
+        out = _pages_out(cat.read("pages")).withColumn(
+            "src", F.lit("pages")
+        ).unionByName(
+            _pages_out(cat.read("audit")).withColumn("src", F.lit("audit"))
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_CATALOG_TXN = f"""
+WITH base AS (SELECT * FROM read_parquet('{fixture_path("merge_base")}')),
+delta AS (SELECT * FROM read_parquet('{fixture_path("merge_delta")}')),
+d AS (
+  SELECT url, warc_ts, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM delta
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT coalesce(d.url, b.url) AS url,
+         coalesce(d.warc_ts, b.warc_ts) AS warc_ts,
+         coalesce(d.text, b.text) AS text,
+         coalesce(d.lang, b.lang) AS lang
+  FROM base b FULL OUTER JOIN d ON b.url = d.url
+),
+audit_final AS (
+  SELECT url, warc_ts, text, lang FROM d
+  UNION ALL
+  SELECT url, warc_ts, text, lang FROM d
+  WHERE url NOT IN (SELECT url FROM base)
+)
+SELECT {_PAGES_PROJ}, 'pages' AS src FROM merged
+UNION ALL
+SELECT {_PAGES_PROJ}, 'audit' AS src FROM audit_final
+"""
+
+
 MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
@@ -482,4 +549,5 @@ MAINTENANCE_REGISTRY: dict = {
     "m_branch_wap_publish": (m_branch_wap_publish, SQL_M_MERGE_SCD1),
     "m_sketch_merge": (m_sketch_merge, SQL_M_MERGE_SCD1),
     "m_cdc_replay": (m_cdc_replay, SQL_M_MERGE_SCD1),
+    "m_catalog_txn": (m_catalog_txn, SQL_M_CATALOG_TXN),
 }
