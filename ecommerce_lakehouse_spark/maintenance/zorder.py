@@ -76,12 +76,23 @@ def _ts_bounds_from_stats(
     return _bounds_from_stats(files, ts_col)
 
 
-def last_cluster_snapshot_id(table: IcehouseTable) -> int | None:
-    """Most recent ``cluster-*`` snapshot id, or None if never clustered."""
+def last_cluster_snapshot_id(
+    table: IcehouseTable, spec_id: int | None = None
+) -> int | None:
+    """Most recent ``cluster-*`` snapshot id, or None if never clustered.
+
+    ``spec_id`` restricts to cluster snapshots committed UNDER that spec
+    generation (summary ``cluster_spec_id``; pre-spec-tracking snapshots
+    count as generation 0) — after :meth:`set_cluster_spec` evolves the
+    spec, old-generation rewrites no longer count as "clustered"."""
     ids = [
         s.snapshot_id
         for s in table.snapshots()
         if s.operation.startswith("cluster-")
+        and (
+            spec_id is None
+            or int(s.summary.get("cluster_spec_id", 0)) == spec_id
+        )
     ]
     return max(ids, default=None)
 
@@ -91,10 +102,11 @@ def _scoped_files(
     scope: str,
     predicates: list[Predicate] | None,
     snapshot=None,
+    spec_id: int | None = None,
 ) -> list[DataFile]:
     files = table.live_files(snapshot)
     if scope == "incremental":
-        last = last_cluster_snapshot_id(table)
+        last = last_cluster_snapshot_id(table, spec_id=spec_id)
         if last is not None:
             # Files written by the clustering snapshot itself carry
             # added_by == last; only strictly-later lineage is unclustered.
@@ -108,12 +120,12 @@ def _scoped_files(
 
 def zorder_by(
     table: IcehouseTable,
-    url_col: str = "url",
-    ts_col: str = "warc_ts",
-    curve: str = "morton",
+    url_col: str | None = None,
+    ts_col: str | None = None,
+    curve: str | None = None,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     snapshot_scope: list | None = None,
-    url_coord: str = "hash",
+    url_coord: str | None = None,
     scope: str = "full",
     predicates: list[Predicate] | None = None,
     extra_cols: list[str] | None = None,
@@ -134,9 +146,26 @@ def zorder_by(
 
     scope="full" rewrites every live file (round-1 behavior);
     scope="incremental" rewrites only files added since the last cluster-*
-    snapshot; ``predicates`` further restricts to stats-overlapping files.
-    Returns None (no commit) when the scope selects nothing.
+    snapshot OF THE CURRENT SPEC GENERATION; ``predicates`` further
+    restricts to stats-overlapping files. Returns None (no commit) when
+    the scope selects nothing.
+
+    Every explicit parameter left as None defaults from the table's
+    clustering spec (``set_cluster_spec`` → ``cluster.*`` properties);
+    after a spec evolution the first incremental run re-clusters
+    everything under the new spec, then incremental is O(new data) again.
     """
+    spec = table.cluster_spec()
+    spec_id = spec["spec_id"]
+    curve = curve if curve is not None else spec.get("curve", "morton")
+    url_col = url_col if url_col is not None else spec.get("url_col", "url")
+    ts_col = ts_col if ts_col is not None else spec.get("ts_col", "warc_ts")
+    url_coord = (
+        url_coord if url_coord is not None else spec.get("url_coord", "hash")
+    )
+    extra_cols = (
+        extra_cols if extra_cols is not None else spec.get("extra_cols") or None
+    )
     if curve not in ("morton", "hilbert"):
         raise ValueError(f"unknown curve {curve!r}")
     if url_coord not in ("hash", "prefix"):
@@ -154,7 +183,9 @@ def zorder_by(
     )
     if branch is not None and scope != "full":
         raise ValueError("branch clustering supports scope='full' only")
-    files = _scoped_files(table, scope, predicates, snapshot=base_snap)
+    files = _scoped_files(
+        table, scope, predicates, snapshot=base_snap, spec_id=spec_id
+    )
     if not files:
         return None
     total_bytes = sum(f.size_bytes for f in files)
@@ -286,6 +317,7 @@ def zorder_by(
         base_delete_registry=table.delete_registry_full(base_snap),
         extra_summary={
             "cluster_curve": curve,
+            "cluster_spec_id": spec_id,
             "cluster_scope": scope,
             "cluster_files_in": len(files),
             "cluster_files_out": n_out,

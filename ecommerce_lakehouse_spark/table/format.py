@@ -1456,6 +1456,68 @@ class IcehouseTable:
             extra_summary={"bucket_key": key, "bucket_n": n},
         )
 
+    CLUSTER_SPEC_ID_PROP = "cluster.spec_id"
+
+    def cluster_spec(self) -> dict:
+        """The table's clustering spec from properties.
+
+        ``spec_id`` is 0 for a table that never evolved its spec (and for
+        cluster-* snapshots committed before spec tracking existed — the
+        two defaults agree, which is what keeps incremental clustering
+        back-compatible)."""
+        p = self.properties()
+        spec: dict = {"spec_id": int(p.get(self.CLUSTER_SPEC_ID_PROP, 0))}
+        for k, prop in (
+            ("curve", "cluster.curve"),
+            ("url_col", "cluster.url_col"),
+            ("ts_col", "cluster.ts_col"),
+            ("url_coord", "cluster.url_coord"),
+        ):
+            if p.get(prop):
+                spec[k] = p[prop]
+        extra = p.get("cluster.extra_cols", "")
+        spec["extra_cols"] = [c for c in extra.split(",") if c]
+        return spec
+
+    def set_cluster_spec(
+        self,
+        curve: str = "morton",
+        url_col: str = "url",
+        ts_col: str = "warc_ts",
+        extra_cols: list[str] | None = None,
+        url_coord: str = "hash",
+    ) -> Snapshot:
+        """Evolve the CLUSTERING spec without rewriting data (the Z-order
+        analog of :meth:`set_bucket_spec`): a metadata-only commit records
+        curve/columns/coordinate under ``cluster.*`` and bumps
+        ``cluster.spec_id``. ``zorder_by`` defaults its parameters from
+        this spec, stamps each cluster-* snapshot with the spec id it ran
+        under, and — the point of the generation counter — its
+        ``scope="incremental"`` treats files clustered under an OLDER spec
+        as unclustered, so the first incremental run after an evolution
+        re-clusters the whole table and later runs are O(new data) again."""
+        if curve not in ("morton", "hilbert"):
+            raise ValueError(f"unknown curve {curve!r}")
+        if url_coord not in ("hash", "prefix"):
+            raise ValueError(f"unknown url_coord {url_coord!r}")
+        names = {f.name for f in self.schema().fields}
+        for c in [url_col, ts_col, *(extra_cols or [])]:
+            if c not in names:
+                raise ValueError(f"cluster column {c!r} is not a table column")
+        new_id = int(self.properties().get(self.CLUSTER_SPEC_ID_PROP, 0)) + 1
+        return self._commit(
+            "set-spec", [], set(),
+            properties={
+                "cluster.curve": curve,
+                "cluster.url_col": url_col,
+                "cluster.ts_col": ts_col,
+                "cluster.extra_cols": ",".join(extra_cols or []),
+                "cluster.url_coord": url_coord,
+                self.CLUSTER_SPEC_ID_PROP: str(new_id),
+            },
+            extra_summary={"cluster_spec_id": new_id, "cluster_curve": curve},
+        )
+
     # ------------------------------------------------------------ branches
 
     def create_branch(
