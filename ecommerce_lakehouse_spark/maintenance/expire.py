@@ -43,9 +43,13 @@ def expire_snapshots(
     clean_orphans: bool = True,
     orphan_grace_ms: int = 3_600_000,
     keep_metadata_versions: int = 100,
+    protect_ids: "set[int] | None" = None,
 ) -> ExpireResult:
     """Expire all but the newest ``keep_last`` snapshots (and, if given, any
     snapshot newer than ``older_than_ms`` survives regardless).
+    ``protect_ids`` pins specific snapshots unconditionally — external
+    references the table metadata cannot see, e.g. a Catalog's pinned
+    snapshot (Catalog.expire passes it automatically).
 
     Orphan-sweep safety: staged outputs of UNFINISHED ledger jobs (a
     compaction/merge mid-rewrite — tracked only in the ledger until their
@@ -104,6 +108,9 @@ def expire_snapshots(
     # tagged snapshots are pinned: a named ref (create_tag) means someone
     # depends on that exact row set — expiry never sweeps it
     retained_ids |= set(table.refs().values()) & set(by_id)
+    # externally-referenced snapshots (catalog pins etc.) likewise
+    if protect_ids:
+        retained_ids |= set(protect_ids) & set(by_id)
     # branches pin their EXCLUSIVE lineage (head back to the fork point):
     # a branch is in-progress work, so its whole history must survive until
     # the branch is published or dropped; shared ancestors on the published

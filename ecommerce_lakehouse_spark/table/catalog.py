@@ -186,6 +186,40 @@ class Catalog:
         self._cas(mutate)
         return snap.snapshot_id
 
+    def register_views(
+        self, names: list[str] | None = None, metadata: bool = False
+    ) -> list[str]:
+        """Register each table's PINNED scan as a temp view named after the
+        table, so plain ``spark.sql`` joins across catalog tables see one
+        consistent transaction set. ``metadata=True`` adds the
+        ``<name>_files`` / ``_manifests`` / ``_partitions`` / ``_history``
+        metadata views (the Iceberg ``$files`` idiom). Views resolve the
+        pin AT REGISTRATION time — re-register after new commits."""
+        from ..sources.datasource import register_table_views
+
+        out = []
+        for name in names if names is not None else self.table_names():
+            pin = self.pinned_snapshot(name)
+            if metadata:
+                register_table_views(
+                    self.spark, self.table(name).path, name, snapshot_id=pin
+                )
+            else:
+                self.read(name).createOrReplaceTempView(name)
+            out.append(name)
+        return out
+
+    def expire(self, name: str, **kwargs):
+        """Catalog-aware snapshot expiry: the table's pinned snapshot is
+        always protected, so a pin that lags the table's current (direct
+        writes without refresh) can never have its files reclaimed out
+        from under catalog readers."""
+        from ..maintenance.expire import expire_snapshots
+
+        protect = set(kwargs.pop("protect_ids", None) or ())
+        protect.add(self.pinned_snapshot(name))
+        return expire_snapshots(self.table(name), protect_ids=protect, **kwargs)
+
     # ---------------------------------------------------------------- txns
 
     def transaction(self) -> "MultiTableTransaction":

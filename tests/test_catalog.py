@@ -160,3 +160,33 @@ def test_empty_txn_commit_is_noop(spark, catalog):
 def test_register_duplicate_name_raises(spark, catalog):
     with pytest.raises(CommitConflict, match="already registered"):
         catalog.register_table("pages", catalog.table("audit"))
+
+
+def test_register_views_sql_is_catalog_consistent(spark, catalog):
+    """spark.sql over registered views joins the PINNED snapshots: a
+    direct write after registration is invisible until re-registration."""
+    catalog.register_views(metadata=True)
+    n = spark.sql(
+        "SELECT (SELECT count(*) FROM pages) + (SELECT count(*) FROM audit) AS n"
+    ).first()["n"]
+    assert n == 250
+    assert spark.sql("SELECT count(*) AS c FROM pages_files").first()["c"] >= 1
+    catalog.table("pages").append(_delta(spark, 30, 55))
+    assert spark.sql("SELECT count(*) AS c FROM pages").first()["c"] == 200
+    catalog.refresh("pages")
+    catalog.register_views(["pages"])
+    assert spark.sql("SELECT count(*) AS c FROM pages").first()["c"] == 230
+
+
+def test_catalog_expire_protects_lagging_pin(spark, catalog):
+    """Direct writes move the table past the pin; Catalog.expire must keep
+    the pinned snapshot's files readable even with keep_last=1."""
+    tbl = catalog.table("pages")
+    pin = catalog.pinned_snapshot("pages")
+    tbl.append(_delta(spark, 30, 56))
+    tbl.append(_delta(spark, 20, 57))
+    res = catalog.expire("pages", keep_last=1)
+    assert res.expired_snapshots  # something actually expired
+    assert pin not in res.expired_snapshots
+    assert catalog.read("pages").count() == 200  # pin still fully readable
+    assert tbl.scan().count() == 250
