@@ -526,6 +526,95 @@ FROM events GROUP BY 1
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment — the standard
+    hash-of-stable-id split (never random(): reproducible across runs,
+    engines, and re-shuffles; a doc's split never changes when data is
+    added). Bucket = first 8 hex chars of md5(doc_id) mod 100 → 90/5/5.
+    Pure JVM expressions (md5/conv are codegen'd); one shuffle on the
+    2×|langs|-ary group-by — scales to any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT *,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+PACK_TOKEN_BUDGET = 2_000
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing: assign documents to training shards of
+    ≤ budget tokens by a running token sum in stable doc_id order,
+    partitioned by source. The per-source partitioning is the scale
+    design — packing is inherently sequential, so the window runs per
+    source (or per date-partition at 100 TB) and sources pack in
+    parallel; a single global ORDER BY window would serialize the
+    corpus through one task."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    toks = T.token_count(F.col("text"))
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        docs.withColumn("n_tokens", toks)
+        .withColumn("shard", F.floor(cum_before / PACK_TOKEN_BUDGET))
+        .groupBy("source", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
+
+
+SQL_PACK_SHARDS = f"""
+WITH tk AS (
+  SELECT source, doc_id, {T.sql_token_count("text")} AS n_tokens
+  FROM documents
+),
+run AS (
+  SELECT source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM tk
+)
+SELECT source,
+       CAST(floor(cum_before / {PACK_TOKEN_BUDGET}) AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM run GROUP BY 1, 2
+"""
+
+
 ML_REGISTRY: dict = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
@@ -544,4 +633,6 @@ ML_REGISTRY: dict = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "morton_codes": (q_morton_codes, SQL_MORTON_CODES),
     "morton3_codes": (q_morton3_codes, SQL_MORTON3_CODES),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
 }
