@@ -454,11 +454,16 @@ def merge_into(
     affected_paths: list[str] = []
     if candidates:
         cand_full = [f"{table.path}/{f.path}" for f in candidates]
-        tgt_cand = (
-            spark.read.schema(schema)
+        # name-mapped read: files written before a rename_column carry the
+        # old physical key name — resolve through the alias plan or the
+        # semi-join would silently miss every pre-rename match
+        read_schema, aliases = table.alias_read_plan(schema)
+        tgt_cand = table.alias_resolve(
+            spark.read.schema(read_schema)
             .parquet(*cand_full)
-            .select(*keys, F.col("_metadata.file_path").alias("__file"))
-        )
+            .withColumn("__file", F.col("_metadata.file_path")),
+            aliases,
+        ).select(*keys, "__file")
         probe = F.broadcast(src_keys) if n_src_keys <= BROADCAST_KEY_LIMIT else src_keys
         if salt_buckets and n_src_keys > BROADCAST_KEY_LIMIT:
             tgt_cand = tgt_cand.withColumn(

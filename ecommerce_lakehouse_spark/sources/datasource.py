@@ -92,7 +92,8 @@ def _filter_to_predicate(f: Filter) -> Predicate | None:
 
 class IcehouseFilePartition(InputPartition):
     def __init__(self, path: str, dv_paths: list[str] | None = None,
-                 eq_deletes: list[tuple] | None = None):
+                 eq_deletes: list[tuple] | None = None,
+                 aliases: dict | None = None):
         self.path = path
         # deletion-vector sidecars covering this file (merge-on-read):
         # absolute parquet paths of (fname, pos) rows
@@ -100,6 +101,10 @@ class IcehouseFilePartition(InputPartition):
         # equality deletes applicable to this file (file.added_by <= seq):
         # (abs_path, key_col) tuples
         self.eq_deletes = eq_deletes or []
+        # rename_column name mapping {current: [older names]} — lets the
+        # executor-side kernel resolve a renamed column from a file
+        # written under an older generation of the name
+        self.aliases = aliases or {}
 
 
 class IcehouseReader(DataSourceReader):
@@ -154,7 +159,8 @@ class IcehouseReader(DataSourceReader):
                 self._incremental_from, self._snapshot_id
             )
             files = prune_files(
-                inc_files, table._stats_predicates(self._predicates or None)
+                inc_files, table._stats_predicates(self._predicates or None),
+                aliases=table.schema_aliases(),
             )
         else:
             files = table.planned_files(
@@ -179,6 +185,7 @@ def _file_partitions(table, files, snap) -> list:
 
     reg = table.delete_registry(snap)
     eq = table.eq_deletes(snap)
+    aliases = table.schema_aliases()
     return [
         IcehouseFilePartition(
             os.path.join(table.path, f.path),
@@ -186,6 +193,7 @@ def _file_partitions(table, files, snap) -> list:
              for dv in (reg.get(f.path) or {}).get("dvs", [])],
             [(os.path.join(table.path, e["path"]), e["key_col"])
              for e in eq if (f.added_by or 0) <= e["seq"]],
+            aliases=aliases,
         )
         for f in files
     ]
@@ -211,12 +219,19 @@ def _read_partition_arrow(partition, schema: StructType):
             schema=want,
         ).to_batches()
         return
-    tbl = pq.read_table(
-        partition.path,
-        columns=[n for n in want.names if n in set(
-            pq.read_schema(partition.path).names
-        )],
-    )
+    aliases = getattr(partition, "aliases", None) or {}
+    # the same logical column may sit under an older name (rename_column
+    # name mapping): a file holds at most one generation of each name
+    name_group = {cur: [cur, *al] for cur, al in aliases.items()}
+    file_names = set(pq.read_schema(partition.path).names)
+    read_cols, resolved = [], {}
+    for n in want.names:
+        for cand in name_group.get(n, [n]):
+            if cand in file_names:
+                read_cols.append(cand)
+                resolved[n] = cand
+                break
+    tbl = pq.read_table(partition.path, columns=read_cols)
     if getattr(partition, "dv_paths", None):
         # merge-on-read: drop this file's deleted row positions
         fname = os.path.basename(partition.path)
@@ -230,18 +245,23 @@ def _read_partition_arrow(partition, schema: StructType):
                 pc.is_in(idx, value_set=dv.column("pos").cast(pa.int64()))
             )
             tbl = tbl.filter(keep)
+    rev = {n_: cur for cur, grp in name_group.items() for n_ in grp}
     for eq_path, key_col in getattr(partition, "eq_deletes", []) or []:
-        # equality deletes applicable to this file's commit sequence
-        if key_col not in tbl.column_names:
+        # equality deletes applicable to this file's commit sequence; the
+        # delete stores its write-time key name, the file may carry any
+        # generation of it — resolve both through the name group
+        file_col = resolved.get(rev.get(key_col, key_col), key_col)
+        if file_col not in tbl.column_names:
             continue
         keys = pq.read_table(eq_path, columns=[key_col]).column(key_col)
-        mask = pc.invert(pc.is_in(tbl.column(key_col), value_set=keys))
+        mask = pc.invert(pc.is_in(tbl.column(file_col), value_set=keys))
         tbl = tbl.filter(pc.fill_null(mask, True))
     n = tbl.num_rows
     cols = []
     for field in want:
-        if field.name in tbl.column_names:
-            cols.append(tbl.column(field.name).cast(field.type))
+        src = resolved.get(field.name)
+        if src is not None:
+            cols.append(tbl.column(src).cast(field.type))
         else:
             # schema evolution: files older than a widening null-fill
             cols.append(pa.nulls(n, type=field.type))

@@ -38,6 +38,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from . import stats as stats_mod
@@ -528,13 +529,20 @@ class IcehouseTable:
             e for e in full_reg["eq"]
             if any((f.added_by or 0) <= e["seq"] for f in files)
         ]
-        df = self.spark.read.schema(schema).parquet(*paths)
+        # name-mapped reads (rename_column): the read schema carries the
+        # alias columns typed like their current field; a file holds AT
+        # MOST ONE generation of a column's name, so coalesce across the
+        # generations resolves the value in one scan — no per-file schema
+        # resolution, no per-generation scan groups
+        read_schema, aliases = self.alias_read_plan(schema)
+        df = self.spark.read.schema(read_schema).parquet(*paths)
         need_prov = bool(dv_rels) or bool(eq) or with_pos
         if need_prov:
             df = df.withColumn(
                 "__fname",
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
             ).withColumn("__pos", F.col("_metadata.row_index"))
+        df = self.alias_resolve(df, aliases)
         if dv_rels:
             dv = self.spark.read.parquet(
                 *[os.path.join(self.path, r) for r in dv_rels]
@@ -558,16 +566,26 @@ class IcehouseTable:
             df = df.join(
                 F.broadcast(fmap), df["__fname"] == fmap["__eq_fn"], "left"
             ).drop("__eq_fn")
+            # an eq delete recorded before a rename stores the then-current
+            # key name: join on the TRANSLATED (current) df column, while
+            # the sidecar file is read under its stored name
+            rev = {
+                a: cur
+                for cur, al in self.schema_aliases().items()
+                for a in al
+            }
             by_col: dict[str, list[dict]] = {}
             for e in eq:
-                by_col.setdefault(e["key_col"], []).append(e)
+                by_col.setdefault(
+                    rev.get(e["key_col"], e["key_col"]), []
+                ).append(e)
             for key_col, group in sorted(by_col.items()):
                 keys = None
                 for e in group:
                     one = self.spark.read.parquet(
                         os.path.join(self.path, e["path"])
                     ).select(
-                        F.col(key_col).alias("__ek"),
+                        F.col(e["key_col"]).alias("__ek"),
                         F.lit(e["seq"]).cast("long").alias("__eseq"),
                     )
                     keys = one if keys is None else keys.unionByName(one)
@@ -1141,6 +1159,13 @@ class IcehouseTable:
                  {t.name for t in table_schema.fields}]
         if not extra:
             return None
+        reused = [f.name for f in extra if f.name in self.historical_names()]
+        if reused:
+            raise ValueError(
+                f"schema evolution: column name(s) {reused} were previously "
+                f"renamed away or dropped — reusing them would resurrect old "
+                f"files' data under name-mapped reads; pick fresh names"
+            )
         if not merge_schema:
             raise ValueError(
                 f"writer has new column(s) {[f.name for f in extra]}; pass "
@@ -1327,7 +1352,8 @@ class IcehouseTable:
         """
         snap = self._resolve_snapshot(snapshot_id)
         files = self.live_files(snap)
-        kept = prune_files(files, self._stats_predicates(predicates))
+        kept = prune_files(files, self._stats_predicates(predicates),
+                           aliases=self.schema_aliases())
         schema = self.schema()
         if not kept:
             return self.spark.createDataFrame([], schema)
@@ -1344,13 +1370,16 @@ class IcehouseTable:
     ) -> list[DataFile]:
         """The scan planner's file list (exposed for tests/maintenance)."""
         snap = self._resolve_snapshot(snapshot_id)
-        return prune_files(self.live_files(snap), self._stats_predicates(predicates))
+        return prune_files(self.live_files(snap),
+                           self._stats_predicates(predicates),
+                           aliases=self.schema_aliases())
 
     # append snapshots emit rows; these rewrite bytes (or touch metadata
     # only) but preserve the logical row set, so an incremental consumer
     # can skip them
     _CONTENT_NEUTRAL_OPS = ("compact", "cluster-", "rewrite-manifests",
-                            "rewrite-deletes", "set-ref", "set-spec")
+                            "rewrite-deletes", "set-ref", "set-spec",
+                            "set-schema")
 
     # ------------------------------------------------------------- refs
 
@@ -1454,6 +1483,161 @@ class IcehouseTable:
                 self.BUCKET_EVOLVED_PROP: "true",
             },
             extra_summary={"bucket_key": key, "bucket_n": n},
+        )
+
+    # -------------------------------------------- schema evolution: v2
+    # Rename/drop without field ids, via NAME MAPPING (the public
+    # Iceberg name-mapping idea, schema.name-mapping.default): properties
+    # record, per current column, the older names it carried. Reads
+    # resolve a renamed column with ONE scan over all generations —
+    # coalesce(current, *older) — because no data file can contain more
+    # than one name of the same column (rename_column refuses reusing any
+    # historical name, so generations never overlap inside a file).
+    # Dropped names are retired forever for the same reason: re-adding
+    # one would resurrect old files' data under the reborn column.
+
+    ALIASES_PROP = "schema.aliases"   # json {current: [older names...]}
+    RETIRED_PROP = "schema.retired"   # json [names never reusable]
+
+    def schema_aliases(self) -> dict:
+        v = self.properties().get(self.ALIASES_PROP)
+        return json.loads(v) if v else {}
+
+    def retired_names(self) -> set:
+        v = self.properties().get(self.RETIRED_PROP)
+        return set(json.loads(v)) if v else set()
+
+    def historical_names(self) -> set:
+        """Every name that ever identified a column but no longer does."""
+        return {
+            a for al in self.schema_aliases().values() for a in al
+        } | self.retired_names()
+
+    def _spec_columns(self) -> set:
+        """Columns referenced by layout specs (bucket/cluster/sketch/
+        bloom) — renaming or dropping these would orphan the spec, so the
+        spec must be evolved off them first."""
+        p = self.properties()
+        cols: set = set()
+        bs = self.bucket_spec()
+        if bs:
+            cols.add(bs[0])
+        for prop in ("sketch.cols", "bloom.cols"):
+            cols |= {c for c in (p.get(prop) or "").split(",") if c}
+        cs = self.cluster_spec()
+        if cs["spec_id"] > 0 or "curve" in cs:
+            cols |= {cs.get("url_col"), cs.get("ts_col")} - {None}
+            cols |= set(cs.get("extra_cols") or [])
+        return cols
+
+    def alias_read_plan(self, schema: StructType):
+        """(read schema including alias fields, relevant {cur: [olds]}) —
+        the driver half of a name-mapped parquet read; pair with
+        :meth:`alias_resolve` on the resulting DataFrame."""
+        cur_names = {f.name for f in schema.fields}
+        aliases = {
+            cur: al for cur, al in sorted(self.schema_aliases().items())
+            if cur in cur_names
+        }
+        if not aliases:
+            return schema, {}
+        by_name = {f.name: f for f in schema.fields}
+        return StructType(
+            list(schema.fields)
+            + [
+                StructField(a, by_name[cur].dataType, True)
+                for cur, al in aliases.items()
+                for a in al
+            ]
+        ), aliases
+
+    @staticmethod
+    def alias_resolve(df: DataFrame, aliases: dict) -> DataFrame:
+        """Coalesce each renamed column across its name generations and
+        drop the alias columns (see alias_read_plan)."""
+        if not aliases:
+            return df
+        for cur, al in aliases.items():
+            df = df.withColumn(
+                cur, F.coalesce(F.col(cur), *[F.col(a) for a in al])
+            )
+        return df.drop(*[a for al in aliases.values() for a in al])
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """Rename a column WITHOUT rewriting data (metadata-only commit).
+
+        Existing files keep the old physical name; every read resolves the
+        column as coalesce(new, old...) across generations (see the name-
+        mapping note above), and stats-based file pruning consults the
+        alias names too. The new name must be FRESH — never a current,
+        previously-renamed, or dropped name — which is what guarantees a
+        single-scan read with no per-file schema resolution."""
+        schema = self.schema()
+        names = {f.name for f in schema.fields}
+        if old not in names:
+            raise ValueError(f"unknown column {old!r}")
+        if new in names or new in self.historical_names():
+            raise ValueError(
+                f"column name {new!r} is or was in use — without field "
+                f"ids, name-mapped reads require a fresh name"
+            )
+        if old in self._spec_columns():
+            raise ValueError(
+                f"column {old!r} is referenced by a bucket/cluster/"
+                f"sketch/bloom spec — evolve the spec off it first"
+            )
+        aliases = self.schema_aliases()
+        aliases[new] = aliases.pop(old, []) + [old]
+        fields = [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        return self._commit(
+            "set-schema", [], set(),
+            schema_json=StructType(fields).jsonValue(),
+            properties={self.ALIASES_PROP: json.dumps(aliases)},
+            extra_summary={"renamed_from": old, "renamed_to": new},
+        )
+
+    def drop_column(self, name: str) -> Snapshot:
+        """Drop a column WITHOUT rewriting data (metadata-only commit):
+        readers simply stop selecting it. The name (and every older name
+        it carried) is retired forever — re-adding it would resurrect the
+        old files' values under the reborn column."""
+        schema = self.schema()
+        if name not in {f.name for f in schema.fields}:
+            raise ValueError(f"unknown column {name!r}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        if name in self._spec_columns():
+            raise ValueError(
+                f"column {name!r} is referenced by a bucket/cluster/"
+                f"sketch/bloom spec — evolve the spec off it first"
+            )
+        rev = {
+            a: cur for cur, al in self.schema_aliases().items() for a in al
+        }
+        live_eq_keys = {
+            rev.get(e["key_col"], e["key_col"]) for e in self.eq_deletes()
+        }
+        if name in live_eq_keys:
+            raise ValueError(
+                f"column {name!r} keys live equality deletes — rewrite "
+                f"them to positional form first (rewrite_delete_vectors)"
+            )
+        aliases = self.schema_aliases()
+        retired = sorted(
+            self.retired_names() | {name, *aliases.pop(name, [])}
+        )
+        fields = [f for f in schema.fields if f.name != name]
+        return self._commit(
+            "set-schema", [], set(),
+            schema_json=StructType(fields).jsonValue(),
+            properties={
+                self.ALIASES_PROP: json.dumps(aliases),
+                self.RETIRED_PROP: json.dumps(retired),
+            },
+            extra_summary={"dropped_column": name},
         )
 
     CLUSTER_SPEC_ID_PROP = "cluster.spec_id"

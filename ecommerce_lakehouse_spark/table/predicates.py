@@ -96,12 +96,25 @@ class Predicate:
         return c.isNotNull()
 
 
-def prune_files(files: list, predicates: list[Predicate] | None) -> list:
-    """AND-combine predicates; keep files any of whose rows might match all."""
+def prune_files(
+    files: list,
+    predicates: list[Predicate] | None,
+    aliases: dict | None = None,
+) -> list:
+    """AND-combine predicates; keep files any of whose rows might match all.
+
+    ``aliases`` ({current_name: [older names]}, from rename_column) lets a
+    predicate on a renamed column prune files whose manifest stats are
+    keyed by an older generation of the name. Omitting it is always safe —
+    stats missing under the current name keep the file (conservative)."""
     if not predicates:
         return list(files)
-    return [
-        f
-        for f in files
-        if all(p.might_match(f.stats, f.row_count) for p in predicates)
-    ]
+
+    def _match(f, p: Predicate) -> bool:
+        names = [p.column, *(aliases or {}).get(p.column, [])]
+        for n in names:
+            if f.stats and n in f.stats:
+                return p.might_match({p.column: f.stats[n]}, f.row_count)
+        return True
+
+    return [f for f in files if all(_match(f, p) for p in predicates)]
