@@ -536,6 +536,35 @@ SELECT {_PAGES_PROJ}, 'audit' AS src FROM audit_final
 """
 
 
+def m_rename_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename-then-merge (schema evolution v2): the url column is renamed
+    to page_url AFTER the base files are written (metadata-only — no
+    rewrite, asserted), then the SCD1 merge runs keyed on the NEW name
+    while every base file still carries the old physical name. The scan
+    must be hash-identical to the plain merge: a broken name mapping
+    either NULLs the key column (hash mismatch) or double-inserts every
+    delta row (row-count mismatch)."""
+    from .operators.merge import dedup_latest, merge_into
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "merge_base", 4)
+        )
+        files_before = {f.path for f in tbl.live_files()}
+        tbl.rename_column("url", "page_url")
+        assert {f.path for f in tbl.live_files()} == files_before  # no rewrite
+        delta = dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        ).withColumnRenamed("url", "page_url")
+        merge_into(tbl, delta, "page_url")
+        out = tbl.scan().withColumnRenamed("page_url", "url")
+        return _pages_out(out).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
@@ -550,4 +579,5 @@ MAINTENANCE_REGISTRY: dict = {
     "m_sketch_merge": (m_sketch_merge, SQL_M_MERGE_SCD1),
     "m_cdc_replay": (m_cdc_replay, SQL_M_MERGE_SCD1),
     "m_catalog_txn": (m_catalog_txn, SQL_M_CATALOG_TXN),
+    "m_rename_merge_scan": (m_rename_merge_scan, SQL_M_MERGE_SCD1),
 }
