@@ -529,6 +529,15 @@ class IcehouseTable:
             e for e in full_reg["eq"]
             if any((f.added_by or 0) <= e["seq"] for f in files)
         ]
+        # initial defaults (add_column(default=…)): only active when a
+        # requested file PREDATES the add — post-add files store their
+        # values (including explicit NULLs) and need no row work at all
+        want_names = {f.name for f in schema.fields}
+        defaults = {
+            name: d for name, d in self.schema_defaults().items()
+            if name in want_names
+            and any((f.added_by or 0) < d["since"] for f in files)
+        }
         # name-mapped reads (rename_column): the read schema carries the
         # alias columns typed like their current field; a file holds AT
         # MOST ONE generation of a column's name, so coalesce across the
@@ -536,7 +545,7 @@ class IcehouseTable:
         # resolution, no per-generation scan groups
         read_schema, aliases = self.alias_read_plan(schema)
         df = self.spark.read.schema(read_schema).parquet(*paths)
-        need_prov = bool(dv_rels) or bool(eq) or with_pos
+        need_prov = bool(dv_rels) or bool(eq) or with_pos or bool(defaults)
         if need_prov:
             df = df.withColumn(
                 "__fname",
@@ -555,10 +564,10 @@ class IcehouseTable:
                 dv = F.broadcast(dv)
             cond = (df["__fname"] == dv["fname"]) & (df["__pos"] == dv["pos"])
             df = df.join(dv, cond, "left_anti")
-        if eq:
+        if eq or defaults:
             # rows inherit their file's commit sequence via a tiny broadcast
-            # (fname -> added_by), then one anti-join per key column:
-            # delete when key matches AND the row's file predates the delete
+            # (fname -> added_by): eq deletes apply when the row's file
+            # predates the delete; initial defaults when it predates the add
             fmap = self.spark.createDataFrame(
                 [(os.path.basename(f.path), f.added_by or 0) for f in files],
                 "__eq_fn string, __added_by long",
@@ -566,6 +575,17 @@ class IcehouseTable:
             df = df.join(
                 F.broadcast(fmap), df["__fname"] == fmap["__eq_fn"], "left"
             ).drop("__eq_fn")
+        if defaults:
+            by_name = {f.name: f for f in schema.fields}
+            for name, d in sorted(defaults.items()):
+                df = df.withColumn(
+                    name,
+                    F.when(
+                        F.col("__added_by") < F.lit(int(d["since"])),
+                        F.lit(d["v"]).cast(by_name[name].dataType),
+                    ).otherwise(F.col(name)),
+                )
+        if eq:
             # an eq delete recorded before a rename stores the then-current
             # key name: join on the TRANSLATED (current) df column, while
             # the sidecar file is read under its stored name
@@ -597,6 +617,7 @@ class IcehouseTable:
                     & (df["__added_by"] <= keys["__eseq"]),
                     "left_anti",
                 )
+        if eq or defaults:
             df = df.drop("__added_by")
         if need_prov and not with_pos:
             df = df.drop("__fname", "__pos")
@@ -1202,6 +1223,7 @@ class IcehouseTable:
             last = self.last_txn_version(txn[0])
             if last is not None and last >= txn[1]:
                 return None  # fast path: skip staging entirely
+        df = self.fill_write_defaults(df)
         widened = self.reconcile_schema(df.schema, merge_schema)
         order = [f.name for f in (widened or self.schema()).fields]
         added = self._stage_dataframe(
@@ -1530,6 +1552,78 @@ class IcehouseTable:
             cols |= set(cs.get("extra_cols") or [])
         return cols
 
+    DEFAULTS_PROP = "schema.defaults"  # json {col: {"v": literal, "since": version}}
+
+    def schema_defaults(self) -> dict:
+        v = self.properties().get(self.DEFAULTS_PROP)
+        return json.loads(v) if v else {}
+
+    def fill_write_defaults(self, df: DataFrame) -> DataFrame:
+        """Write-default half of add_column(default=…): a writer that
+        predates the add may omit the column entirely; append materializes
+        the default into the new file so the stored value matches what a
+        reader would expect. Writers that DO carry the column keep full
+        control (explicit NULLs are stored as NULL)."""
+        defaults = self.schema_defaults()
+        if not defaults:
+            return df
+        have = set(df.columns)
+        by_name = {f.name: f for f in self.schema().fields}
+        for name, d in sorted(defaults.items()):
+            if name not in have and name in by_name:
+                df = df.withColumn(
+                    name, F.lit(d["v"]).cast(by_name[name].dataType)
+                )
+        return df
+
+    def add_column(
+        self, name: str, data_type, default=None
+    ) -> Snapshot:
+        """Add a nullable column, optionally with an INITIAL DEFAULT
+        (public Iceberg v3 initial-default semantics): rows from files
+        that predate the add read ``default`` instead of NULL, while rows
+        written after it read their stored value — including explicit
+        NULLs. The boundary is the add-commit's version (``since``): a
+        file with ``added_by < since`` takes the default. A concurrent
+        append racing the add can land files without the column at a
+        HIGHER version; those degrade to NULL (exactly today's widening
+        semantics), never to wrong data. ``default`` must be a JSON-able
+        scalar (str/int/float/bool); it is cast to the column type at
+        read time, so e.g. an ISO string defaults a timestamp column.
+
+        ``data_type`` is a Spark DataType or DDL type string."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        if isinstance(data_type, str):
+            data_type = _parse_datatype_string(data_type)
+        schema = self.schema()
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        if name in self.historical_names():
+            raise ValueError(
+                f"column name {name!r} was previously renamed away or "
+                f"dropped — pick a fresh name"
+            )
+        props: dict = {}
+        if default is not None:
+            if not isinstance(default, (str, int, float, bool)):
+                raise ValueError(
+                    "default must be a JSON-able scalar (str/int/float/bool)"
+                )
+            defaults = self.schema_defaults()
+            defaults[name] = {
+                "v": default, "since": self.current_version() + 1
+            }
+            props[self.DEFAULTS_PROP] = json.dumps(defaults)
+        return self._commit(
+            "set-schema", [], set(),
+            schema_json=StructType(
+                list(schema.fields) + [StructField(name, data_type, True)]
+            ).jsonValue(),
+            properties=props or None,
+            extra_summary={"added_column": name},
+        )
+
     def alias_read_plan(self, schema: StructType):
         """(read schema including alias fields, relevant {cur: [olds]}) —
         the driver half of a name-mapped parquet read; pair with
@@ -1592,10 +1686,16 @@ class IcehouseTable:
             StructField(new if f.name == old else f.name, f.dataType, f.nullable)
             for f in schema.fields
         ]
+        props = {self.ALIASES_PROP: json.dumps(aliases)}
+        defaults = self.schema_defaults()
+        if old in defaults:
+            # the initial default follows the column to its new name
+            defaults[new] = defaults.pop(old)
+            props[self.DEFAULTS_PROP] = json.dumps(defaults)
         return self._commit(
             "set-schema", [], set(),
             schema_json=StructType(fields).jsonValue(),
-            properties={self.ALIASES_PROP: json.dumps(aliases)},
+            properties=props,
             extra_summary={"renamed_from": old, "renamed_to": new},
         )
 
@@ -1630,13 +1730,18 @@ class IcehouseTable:
             self.retired_names() | {name, *aliases.pop(name, [])}
         )
         fields = [f for f in schema.fields if f.name != name]
+        props = {
+            self.ALIASES_PROP: json.dumps(aliases),
+            self.RETIRED_PROP: json.dumps(retired),
+        }
+        defaults = self.schema_defaults()
+        if name in defaults:
+            defaults.pop(name)
+            props[self.DEFAULTS_PROP] = json.dumps(defaults)
         return self._commit(
             "set-schema", [], set(),
             schema_json=StructType(fields).jsonValue(),
-            properties={
-                self.ALIASES_PROP: json.dumps(aliases),
-                self.RETIRED_PROP: json.dumps(retired),
-            },
+            properties=props,
             extra_summary={"dropped_column": name},
         )
 

@@ -131,3 +131,127 @@ def test_evolution_preserves_existing_nullability(spark, tmp_path):
     assert not widened["url"].nullable, "existing non-null column loosened"
     assert widened["n"].nullable
     assert widened["extra"].nullable
+
+
+# ---------------------------------------------------------------- defaults
+# add_column(default=…): Iceberg-v3 initial-default semantics — rows from
+# files that PREDATE the add read the default; rows written after read
+# their stored value (including explicit NULLs). Writers that omit the
+# column get the write-default materialized at append.
+
+
+def test_add_column_initial_default_two_eras(spark, tbl):
+    snap = tbl.add_column("crawl_tier", "string", default="cc-main")
+    assert snap.operation == "set-schema"
+    # metadata-only: no data rewritten
+    assert all(f.added_by < snap.snapshot_id for f in tbl.live_files())
+
+    new = generate_pages(spark, 40, seed=91, partitions=1).withColumn(
+        "crawl_tier", F.when(F.crc32(F.col("url")) % 2 == 0, F.lit("news"))
+    )
+    tbl.append(new)
+    out = tbl.scan()
+    assert out.count() == 240
+    # old era: every row reads the default, not NULL
+    assert out.filter(F.col("crawl_tier") == "cc-main").count() == 200
+    # new era: stored values survive — including explicit NULLs
+    stored = out.filter(F.col("crawl_tier").isNull()).count()
+    assert stored == new.filter(F.col("crawl_tier").isNull()).count()
+    assert stored > 0
+
+
+def test_add_column_without_default_reads_null(spark, tbl):
+    tbl.add_column("fetch_status", "int")
+    out = tbl.scan()
+    assert out.filter(F.col("fetch_status").isNull()).count() == 200
+
+
+def test_write_default_fills_omitted_column(spark, tbl):
+    """A writer that predates the add keeps working: append fills the
+    default into the new file (write-default half)."""
+    tbl.add_column("crawl_tier", "string", default="cc-main")
+    tbl.append(generate_pages(spark, 25, seed=92, partitions=1))
+    out = tbl.scan()
+    assert out.count() == 225
+    assert out.filter(F.col("crawl_tier") == "cc-main").count() == 225
+
+
+def test_default_typed_cast_and_validation(spark, tbl):
+    from pyspark.sql.types import TimestampType
+
+    tbl.add_column("ingested_at", "timestamp", default="2026-01-01 00:00:00")
+    row = tbl.scan().select("ingested_at").first()
+    assert row[0] is not None and row[0].year == 2026
+    assert isinstance(tbl.schema()["ingested_at"].dataType, TimestampType)
+
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.add_column("url", "string")
+    tbl.rename_column("ingested_at", "fetched_at")
+    with pytest.raises(ValueError, match="previously renamed"):
+        tbl.add_column("ingested_at", "string")
+    with pytest.raises(ValueError, match="JSON-able scalar"):
+        tbl.add_column("meta", "string", default=object())
+
+
+def test_default_survives_rename_and_dies_with_drop(spark, tbl):
+    tbl.add_column("crawl_tier", "string", default="cc-main")
+    tbl.rename_column("crawl_tier", "tier")
+    assert tbl.schema_defaults() == {
+        "tier": tbl.schema_defaults()["tier"]
+    }
+    assert (
+        tbl.scan().filter(F.col("tier") == "cc-main").count() == 200
+    )
+    tbl.drop_column("tier")
+    assert tbl.schema_defaults() == {}
+    assert "tier" not in tbl.scan().columns
+
+
+def test_rewrite_materializes_default(spark, tbl):
+    """Compaction goes through read_files, so rewritten files store the
+    resolved default; the boundary rule then reads the STORED value —
+    defaults survive any rewrite."""
+    from ecommerce_lakehouse_spark.maintenance.compact import compact
+
+    tbl.add_column("crawl_tier", "string", default="cc-main")
+    compact(tbl, target_file_bytes=512 * 1024 * 1024, min_bin_files=2)
+    assert all(
+        f.added_by > 1 for f in tbl.live_files()
+    ), "compaction should have rewritten the pre-add files"
+    out = tbl.scan()
+    assert out.filter(F.col("crawl_tier") == "cc-main").count() == 200
+
+
+def test_default_boundary_uses_added_by_not_schema(spark, tbl):
+    """Time travel to the pre-add snapshot never shows the column; the
+    post-add snapshot applies the default to the old era only."""
+    v1 = tbl.current_snapshot().snapshot_id
+    tbl.add_column("crawl_tier", "string", default="cc-main")
+    assert "crawl_tier" not in [
+        f.name for f in tbl.schema_of(v1).fields
+    ] if hasattr(tbl, "schema_of") else True
+    out = tbl.scan()
+    assert out.filter(F.col("crawl_tier") == "cc-main").count() == 200
+
+
+def test_merge_fills_write_default_for_legacy_writer(spark, tbl):
+    """merge_into with a delta that OMITS a defaulted column (a writer
+    that predates the add) must not raise in reconcile_schema — the
+    write-default is materialized into the merged files, same as append.
+    (Found by the spark-submit verify drive, round 5.)"""
+    from ecommerce_lakehouse_spark.datagen import generate_recrawl_delta
+    from ecommerce_lakehouse_spark.operators.merge import (
+        dedup_latest, merge_into,
+    )
+
+    tbl.add_column("crawl_tier", "string", default="cc-main")
+    delta = dedup_latest(
+        generate_recrawl_delta(spark, 200, n_new=30, n_recrawl=40, seed=81),
+        ["url"], "warc_ts",
+    )
+    assert "crawl_tier" not in delta.columns
+    res = merge_into(tbl, delta, "url")
+    assert res.rows_updated == 40 and res.rows_inserted == 30
+    out = tbl.scan()
+    assert out.count() == 230
+    assert out.filter(F.col("crawl_tier") == "cc-main").count() == 230
