@@ -565,6 +565,67 @@ def m_rename_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def m_defaults_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-default boundary semantics (Iceberg-v3 ``add_column(
+    default=…)``), oracle-pinned: crawl_tier is added with default
+    'cc-main' AFTER the base files land (metadata-only — asserted), then
+    an SCD1 merge applies a delta that carries EXPLICIT values including
+    explicit NULLs. Old-era rows must read the default, merged rows must
+    read their stored value (NULL stays NULL, never the default) — a
+    broken boundary rule either blankets the default over stored NULLs
+    or NULLs the old era, and the value hash catches both."""
+    from .operators.merge import dedup_latest, merge_into
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "merge_base", 4)
+        )
+        files_before = {f.path for f in tbl.live_files()}
+        tbl.add_column("crawl_tier", "string", default="cc-main")
+        assert {f.path for f in tbl.live_files()} == files_before  # no rewrite
+        delta = dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        ).withColumn(
+            "crawl_tier",
+            F.when(F.length("url") % 2 == 0, F.lit("news")),  # else explicit NULL
+        )
+        merge_into(tbl, delta, "url")
+        out = tbl.scan()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return out.select(
+            "url",
+            F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts_us"),
+            F.length("text").alias("text_len"),
+            "lang",
+            "crawl_tier",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_DEFAULTS_MERGE = f"""
+WITH base AS (SELECT * FROM read_parquet('{fixture_path("merge_base")}')),
+delta AS (SELECT * FROM read_parquet('{fixture_path("merge_delta")}')),
+d AS (
+  SELECT url, warc_ts, text, lang,
+         CASE WHEN length(url) % 2 = 0 THEN 'news' END AS crawl_tier
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM delta
+  ) WHERE rn = 1
+)
+SELECT coalesce(d.url, b.url) AS url,
+       epoch_us(coalesce(d.warc_ts, b.warc_ts)) AS warc_ts_us,
+       length(coalesce(d.text, b.text)) AS text_len,
+       coalesce(d.lang, b.lang) AS lang,
+       CASE WHEN d.url IS NOT NULL THEN d.crawl_tier ELSE 'cc-main' END
+         AS crawl_tier
+FROM base b FULL OUTER JOIN d ON b.url = d.url
+"""
+
+
 MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
@@ -580,4 +641,5 @@ MAINTENANCE_REGISTRY: dict = {
     "m_cdc_replay": (m_cdc_replay, SQL_M_MERGE_SCD1),
     "m_catalog_txn": (m_catalog_txn, SQL_M_CATALOG_TXN),
     "m_rename_merge_scan": (m_rename_merge_scan, SQL_M_MERGE_SCD1),
+    "m_defaults_merge_scan": (m_defaults_merge_scan, SQL_M_DEFAULTS_MERGE),
 }
