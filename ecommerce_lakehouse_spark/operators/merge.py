@@ -389,7 +389,7 @@ def merge_into(
         # a writer that predates add_column(default=…) may omit the
         # column: materialize the write-default before reconciling, same
         # as append (the merged files then store the resolved value)
-        source = table.fill_write_defaults(source)
+        source = table.align_write_types(table.fill_write_defaults(source))
         # schema evolution: with merge_schema the source may ADD nullable
         # columns — the widened schema commits with the rewrite, and
         # unaffected old files read back with NULLs (no rewrite of untouched

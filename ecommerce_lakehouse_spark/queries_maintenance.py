@@ -626,6 +626,64 @@ FROM base b FULL OUTER JOIN d ON b.url = d.url
 """
 
 
+def m_widen_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type promotion (Iceberg widen rules), oracle-pinned: fetch_status
+    lands as INT in the base files, widen_column promotes it to LONG
+    (metadata-only — asserted), then the SCD1 merge applies a delta whose
+    writer STILL produces the narrow int (align_write_types up-casts at
+    write). The scan must read both physical generations — int32 base
+    files and int64 merged files — under one widened schema with values
+    intact; the oracle states the merged table with the column as
+    BIGINT."""
+    from .operators.merge import dedup_latest, merge_into
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        status = F.length("url").cast("int").alias("fetch_status")
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t",
+            _read_fixture(spark, "merge_base", 4).select("*", status),
+        )
+        files_before = {f.path for f in tbl.live_files()}
+        tbl.widen_column("fetch_status", "long")
+        assert {f.path for f in tbl.live_files()} == files_before  # no rewrite
+        delta = dedup_latest(
+            _read_fixture(spark, "merge_delta", 4).select("*", status),
+            ["url"], "warc_ts",
+        )
+        merge_into(tbl, delta, "url")
+        out = tbl.scan()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return out.select(
+            "url",
+            F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts_us"),
+            F.length("text").alias("text_len"),
+            "lang",
+            "fetch_status",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_WIDEN_MERGE = f"""
+WITH base AS (SELECT * FROM read_parquet('{fixture_path("merge_base")}')),
+delta AS (SELECT * FROM read_parquet('{fixture_path("merge_delta")}')),
+d AS (
+  SELECT url, warc_ts, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM delta
+  ) WHERE rn = 1
+)
+SELECT coalesce(d.url, b.url) AS url,
+       epoch_us(coalesce(d.warc_ts, b.warc_ts)) AS warc_ts_us,
+       length(coalesce(d.text, b.text)) AS text_len,
+       coalesce(d.lang, b.lang) AS lang,
+       CAST(length(coalesce(d.url, b.url)) AS BIGINT) AS fetch_status
+FROM base b FULL OUTER JOIN d ON b.url = d.url
+"""
+
+
 MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
@@ -642,4 +700,5 @@ MAINTENANCE_REGISTRY: dict = {
     "m_catalog_txn": (m_catalog_txn, SQL_M_CATALOG_TXN),
     "m_rename_merge_scan": (m_rename_merge_scan, SQL_M_MERGE_SCD1),
     "m_defaults_merge_scan": (m_defaults_merge_scan, SQL_M_DEFAULTS_MERGE),
+    "m_widen_merge_scan": (m_widen_merge_scan, SQL_M_WIDEN_MERGE),
 }

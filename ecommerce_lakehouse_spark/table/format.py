@@ -1223,7 +1223,7 @@ class IcehouseTable:
             last = self.last_txn_version(txn[0])
             if last is not None and last >= txn[1]:
                 return None  # fast path: skip staging entirely
-        df = self.fill_write_defaults(df)
+        df = self.align_write_types(self.fill_write_defaults(df))
         widened = self.reconcile_schema(df.schema, merge_schema)
         order = [f.name for f in (widened or self.schema()).fields]
         added = self._stage_dataframe(
@@ -1623,6 +1623,83 @@ class IcehouseTable:
             properties=props or None,
             extra_summary={"added_column": name},
         )
+
+    @staticmethod
+    def _is_safe_promotion(src, dst) -> bool:
+        """Iceberg type-promotion rules (spec §Schema Evolution): int→long,
+        float→double, decimal(P,S)→decimal(P',S) with P'≥P and same scale.
+        Spark 4's parquet reader resolves all three natively, so a widened
+        read schema over narrow files needs no per-generation scan groups."""
+        from pyspark.sql.types import (
+            DecimalType, DoubleType, FloatType, IntegerType, LongType,
+        )
+
+        if isinstance(src, IntegerType) and isinstance(dst, LongType):
+            return True
+        if isinstance(src, FloatType) and isinstance(dst, DoubleType):
+            return True
+        if isinstance(src, DecimalType) and isinstance(dst, DecimalType):
+            return dst.scale == src.scale and dst.precision >= src.precision
+        return False
+
+    def widen_column(self, name: str, new_type) -> Snapshot:
+        """Promote a column to a wider type — METADATA-ONLY (no data files
+        rewritten). Allowed promotions follow the public Iceberg spec:
+        int→long, float→double, decimal precision increase at fixed scale.
+        Old files keep their narrow physical type; the scan's read schema
+        carries the wide type and the parquet reader up-casts per file
+        (verified by test against files from both eras). Anything outside
+        the safe set raises — narrowing or cross-family changes would
+        corrupt or fail old-file reads.
+
+        ``new_type`` is a Spark DataType or DDL type string."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        if isinstance(new_type, str):
+            new_type = _parse_datatype_string(new_type)
+        schema = self.schema()
+        by_name = {f.name: f for f in schema.fields}
+        if name not in by_name:
+            raise ValueError(f"no such column {name!r}")
+        old = by_name[name].dataType
+        if old == new_type:
+            raise ValueError(f"column {name!r} is already {old.simpleString()}")
+        if not self._is_safe_promotion(old, new_type):
+            raise ValueError(
+                f"unsafe type change for {name!r}: "
+                f"{old.simpleString()} → {new_type.simpleString()} (allowed: "
+                f"int→long, float→double, decimal precision increase)"
+            )
+        fields = [
+            StructField(
+                f.name, new_type if f.name == name else f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+        return self._commit(
+            "set-schema", [], set(),
+            schema_json=StructType(fields).jsonValue(),
+            extra_summary={
+                "widened_column": name,
+                "widened_from": old.simpleString(),
+                "widened_to": new_type.simpleString(),
+            },
+        )
+
+    def align_write_types(self, df: DataFrame) -> DataFrame:
+        """Writer half of type promotion: a writer built before a
+        widen_column may still produce the narrow type — up-cast those
+        columns so the staged files store the wide type and
+        reconcile_schema sees agreement. Only SAFE promotions are applied;
+        a writer WIDER than the table still fails reconcile (the table
+        must be widened first, deliberately)."""
+        by_name = {f.name: f for f in self.schema().fields}
+        for wf in df.schema.fields:
+            tf = by_name.get(wf.name)
+            if tf is not None and tf.dataType != wf.dataType and \
+                    self._is_safe_promotion(wf.dataType, tf.dataType):
+                df = df.withColumn(wf.name, F.col(wf.name).cast(tf.dataType))
+        return df
 
     def alias_read_plan(self, schema: StructType):
         """(read schema including alias fields, relevant {cur: [olds]}) —

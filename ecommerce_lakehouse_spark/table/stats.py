@@ -88,8 +88,15 @@ def file_stats(path: str, stats_cols: list[str] | None = None) -> tuple[int, int
             else:
                 entry["null_count"] = None
             if st.has_min_max:
-                lo = _norm(st.min, upper=False)
-                hi = _norm(st.max, upper=True)
+                try:
+                    lo = _norm(st.min, upper=False)
+                    hi = _norm(st.max, upper=True)
+                except Exception:
+                    # pyarrow can't decode min/max for every physical type
+                    # (e.g. INT32-backed decimals raise
+                    # ArrowNotImplementedError) — degrade to "no stats",
+                    # which pruning treats as always-a-candidate
+                    continue
                 if lo is not None and (entry["min"] is None or lo < entry["min"]):
                     entry["min"] = lo
                 if hi is not None and (entry["max"] is None or hi > entry["max"]):
