@@ -199,3 +199,67 @@ def test_cdc_over_branch_range(spark, cdc_table):
     assert counts.get("update_before") == counts.get("update_after") == 15
     # main has no changes in that range
     assert cdc_table.changes(base, cdc=True).count() == 0
+
+
+def test_cdc_across_schema_evolution_commits(spark, cdc_table):
+    """A CDC range spanning rename + widen + add_column(default) commits:
+    set-schema snapshots emit NO rows, the feed carries the CURRENT
+    schema (renamed/widened/defaulted columns), and replaying it onto
+    nothing reproduces the final scan — so an incremental consumer
+    survives live schema evolution without resyncing."""
+    from pyspark.sql.types import LongType
+
+    cdc_table.add_column("fetch_status", "int")
+    cdc_table.append(
+        generate_pages(spark, 40, seed=26, partitions=1).withColumn(
+            "fetch_status", (F.crc32("url") % 500).cast("int")
+        )
+    )
+    cdc_table.rename_column("url", "page_url")
+    cdc_table.widen_column("fetch_status", "long")
+    cdc_table.add_column("crawl_tier", "string", default="cc-main")
+    delta = dedup_latest(
+        generate_recrawl_delta(
+            spark, base_n=300, n_new=20, n_recrawl=30, seed=21, partitions=2
+        ),
+        ["url"], "warc_ts",
+    ).withColumnRenamed("url", "page_url").withColumn(
+        "fetch_status", (F.crc32("page_url") % 500).cast("int")  # narrow writer
+    )
+    merge_into(cdc_table, delta, "page_url")
+
+    feed = cdc_table.changes(0, cdc=True, key_cols=["page_url"]).localCheckpoint()
+    assert isinstance(feed.schema["fetch_status"].dataType, LongType)
+    assert "page_url" in feed.columns and "crawl_tier" in feed.columns
+
+    # set-schema commits contribute no rows: every feed snapshot id must be
+    # a data commit (create/append/merge), never one of the 4 schema commits
+    data_ops = {"append", "merge", "overwrite"}
+    by_id = {s.snapshot_id: s.operation for s in cdc_table.snapshots()}
+    for r in feed.select("_commit_snapshot_id").distinct().collect():
+        assert by_id[r._commit_snapshot_id] in data_ops, (
+            r._commit_snapshot_id, by_id[r._commit_snapshot_id]
+        )
+
+    # replay the feed commit-by-commit onto nothing → final scan
+    sids = sorted(
+        r._commit_snapshot_id
+        for r in feed.select("_commit_snapshot_id").distinct().collect()
+    )
+    cols = cdc_table.scan().columns
+    state = spark.createDataFrame([], cdc_table.schema())
+    for sid in sids:
+        batch = feed.filter(F.col("_commit_snapshot_id") == sid)
+        dels = batch.filter(
+            F.col("_change_type").isin("delete", "update_before")
+        ).select(*cols)
+        ins = batch.filter(
+            F.col("_change_type").isin("insert", "update_after")
+        ).select(*cols)
+        state = state.exceptAll(dels).unionByName(ins)
+    from collections import Counter
+
+    bag = lambda df: Counter(  # noqa: E731 — None-safe multiset
+        tuple(r) for r in df.select(*sorted(df.columns)).collect()
+    )
+    assert bag(state) == bag(cdc_table.scan())
