@@ -8,10 +8,15 @@ everywhere, e.g. ingest_silver_tables.py:43).
 Built on PySpark 4's Python Data Source API:
 
 - schema() comes from the table's committed metadata;
-- pushFilters() maps Spark's filter pushdown onto manifest-stats FILE
-  pruning (the same prune_files the native scan uses). File pruning is
-  conservative, not exact, so ALL filters are returned as "unsupported" —
-  Spark re-applies them after the scan; we only use them to skip files.
+- file pruning is the relation-scoped ``predicates`` option (a JSON list
+  of [column, op, value] triples) mapped onto manifest-stats FILE pruning
+  — the same prune_files the native scan uses. The reader deliberately
+  does NOT implement pushFilters(): PythonDataSourceV2 keeps one mutable
+  readInfo per loaded relation and only filtered queries replan, so
+  pushFilters-driven pruning leaks a pruned plan into a later UNFILTERED
+  action on the same DataFrame (silent row loss — see register()).
+  Pruning is conservative, not exact: pair the option with a matching
+  .filter(...) for exact row semantics (Spark applies those row-level).
 - partitions() emits one InputPartition per surviving data file → Spark
   schedules file reads across executors exactly like the native scan;
 - read() yields Arrow RecordBatches via pyarrow.parquet (Arrow-batched,
@@ -47,17 +52,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    EqualNullSafe,
-    EqualTo,
-    Filter,
-    GreaterThan,
-    GreaterThanOrEqual,
-    In,
     InputPartition,
-    IsNotNull,
-    IsNull,
-    LessThan,
-    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -65,35 +60,11 @@ from pyspark.sql.types import StructType
 from ..table.predicates import Predicate
 
 
-def _filter_to_predicate(f: Filter) -> Predicate | None:
-    """Map a Spark pushdown filter to a stats-prunable Predicate (top-level
-    columns only; anything unmapped simply doesn't prune)."""
-    col = ".".join(f.attribute) if hasattr(f, "attribute") else None
-    if col is None or (hasattr(f, "attribute") and len(f.attribute) != 1):
-        return None
-    if isinstance(f, (EqualTo, EqualNullSafe)):
-        return Predicate(col, "=", f.value)
-    if isinstance(f, GreaterThan):
-        return Predicate(col, ">", f.value)
-    if isinstance(f, GreaterThanOrEqual):
-        return Predicate(col, ">=", f.value)
-    if isinstance(f, LessThan):
-        return Predicate(col, "<", f.value)
-    if isinstance(f, LessThanOrEqual):
-        return Predicate(col, "<=", f.value)
-    if isinstance(f, In):
-        return Predicate(col, "in", tuple(f.value))
-    if isinstance(f, IsNull):
-        return Predicate(col, "is_null", None)
-    if isinstance(f, IsNotNull):
-        return Predicate(col, "not_null", None)
-    return None
-
-
 class IcehouseFilePartition(InputPartition):
     def __init__(self, path: str, dv_paths: list[str] | None = None,
                  eq_deletes: list[tuple] | None = None,
-                 aliases: dict | None = None):
+                 aliases: dict | None = None,
+                 defaults: dict | None = None):
         self.path = path
         # deletion-vector sidecars covering this file (merge-on-read):
         # absolute parquet paths of (fname, pos) rows
@@ -105,6 +76,10 @@ class IcehouseFilePartition(InputPartition):
         # executor-side kernel resolve a renamed column from a file
         # written under an older generation of the name
         self.aliases = aliases or {}
+        # initial defaults ACTIVE FOR THIS FILE ({col: scalar}): resolved
+        # on the driver (file.added_by < default's add version); the kernel
+        # fills the constant instead of NULL when the file lacks the column
+        self.defaults = defaults or {}
 
 
 class IcehouseReader(DataSourceReader):
@@ -127,18 +102,45 @@ class IcehouseReader(DataSourceReader):
             if low.get("incremental_from") is not None else None
         )
         self._schema = schema
-        self._predicates: list[Predicate] = []
+        # predicates: explicit, RELATION-SCOPED file pruning — a JSON list
+        # of [column, op, value] triples, e.g.
+        #   .option("predicates", '[["warc_ts", ">", "2023-12-05T00:00:00"],
+        #                           ["lang", "=", "en"]]')
+        # Options are part of the relation identity, so unlike
+        # pushFilters-driven pruning this can never leak into another
+        # query via the shared readInfo cache (see register()). Pruning is
+        # CONSERVATIVE (file stats): pair with a matching .filter(...) for
+        # exact row semantics. Timestamp values are ISO strings, resolved
+        # against the column's type at planning time. Supported ops: = > >=
+        # < <= in is_null not_null (table/predicates.py semantics).
+        self._option_predicates = self._parse_predicates(
+            low.get("predicates"), schema
+        )
+
+    @staticmethod
+    def _parse_predicates(raw, schema: StructType) -> list[Predicate]:
+        if not raw:
+            return []
+        import datetime
+        import json
+
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        by_name = {f.name: f.dataType for f in schema.fields}
+        out = []
+        for item in json.loads(raw):
+            col, op, value = item[0], item[1], item[2] if len(item) > 2 else None
+            dt = by_name.get(col)
+            if isinstance(dt, (TimestampType, TimestampNTZType)) and isinstance(value, str):
+                value = datetime.datetime.fromisoformat(value)
+            elif isinstance(dt, DateType) and isinstance(value, str):
+                value = datetime.date.fromisoformat(value)
+            if op == "in" and isinstance(value, list):
+                value = tuple(value)
+            out.append(Predicate(col, op, value))
+        return out
 
     # -- planning (driver side) --------------------------------------------
-
-    def pushFilters(self, filters):  # noqa: N802 (API name)
-        for f in filters:
-            p = _filter_to_predicate(f)
-            if p is not None:
-                self._predicates.append(p)
-        # file pruning is conservative: report EVERY filter unsupported so
-        # Spark re-applies them row-level after the scan
-        return filters
 
     def partitions(self):
         # local import: this class ships to executors, but planning runs on
@@ -150,21 +152,24 @@ class IcehouseReader(DataSourceReader):
         spark = SparkSession.getActiveSession()
         table = IcehouseTable(spark, self._path)
         snap = table._resolve_snapshot(self._snapshot_id)
+        # option-declared predicates only: stateless wrt query execution,
+        # so every replan of this relation yields the same (correct) plan
+        predicates = self._option_predicates
         if self._incremental_from is not None:
             # append-only incremental read: plan ONLY files added after
-            # `from`; pushed predicates still prune them by stats
+            # `from`; option predicates still prune them by stats
             from ..table.predicates import prune_files
 
             inc_files, snap = table.incremental_files(
                 self._incremental_from, self._snapshot_id
             )
             files = prune_files(
-                inc_files, table._stats_predicates(self._predicates or None),
+                inc_files, table._stats_predicates(predicates or None),
                 aliases=table.schema_aliases(),
             )
         else:
             files = table.planned_files(
-                self._predicates or None, snapshot_id=self._snapshot_id
+                predicates or None, snapshot_id=self._snapshot_id
             )
         parts = _file_partitions(table, files, snap)
         # stats can legitimately prune EVERY file; Spark then invokes read()
@@ -186,6 +191,7 @@ def _file_partitions(table, files, snap) -> list:
     reg = table.delete_registry(snap)
     eq = table.eq_deletes(snap)
     aliases = table.schema_aliases()
+    defaults = table.schema_defaults()
     return [
         IcehouseFilePartition(
             os.path.join(table.path, f.path),
@@ -194,6 +200,10 @@ def _file_partitions(table, files, snap) -> list:
             [(os.path.join(table.path, e["path"]), e["key_col"])
              for e in eq if (f.added_by or 0) <= e["seq"]],
             aliases=aliases,
+            defaults={
+                name: d["v"] for name, d in defaults.items()
+                if (f.added_by or 0) < d["since"]
+            },
         )
         for f in files
     ]
@@ -262,6 +272,12 @@ def _read_partition_arrow(partition, schema: StructType):
         src = resolved.get(field.name)
         if src is not None:
             cols.append(tbl.column(src).cast(field.type))
+        elif field.name in (getattr(partition, "defaults", None) or {}):
+            # initial default (add_column(default=…)): this file predates
+            # the add (resolved driver-side), so the column reads as the
+            # constant default, cast to the field type — mirrors read_files
+            v = partition.defaults[field.name]
+            cols.append(pa.array([v] * n).cast(field.type))
         else:
             # schema evolution: files older than a widening null-fill
             cols.append(pa.nulls(n, type=field.type))
@@ -597,8 +613,18 @@ class IcehouseStreamReader(DataSourceStreamReader):
 
 
 def register(spark) -> None:
-    # pushFilters requires this runtime conf (off by default in Spark 4.1)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # The reader deliberately has NO pushFilters: with
+    # spark.sql.python.filterPushdown.enabled, PythonDataSourceV2 keeps ONE
+    # mutable readInfo cache per loaded relation and only filtered queries
+    # replan (PythonScanBuilder.pushFilters → setReadInfo). If
+    # pushFilters-driven planning pruned files, a later UNFILTERED action
+    # on the same DataFrame would reuse the pruned partition list and
+    # silently lose rows (observed: a .filter(...).count() followed by
+    # .collect() returning the filtered subset). And with the conf off —
+    # the Spark 4.1 default — merely defining pushFilters is a hard
+    # planning error (DATA_SOURCE_PUSHDOWN_DISABLED). File pruning is
+    # instead the relation-scoped `predicates` option (see IcehouseReader),
+    # which is part of the relation identity and therefore cache-safe.
     spark.dataSource.register(IcehouseDataSource)
 
 

@@ -1,5 +1,6 @@
-"""spark.read.format("icehouse"): parity with IcehouseTable.scan, predicate
-pushdown → manifest-stats file pruning, time travel, schema evolution."""
+"""spark.read.format("icehouse"): parity with IcehouseTable.scan, the
+relation-scoped `predicates` option → manifest-stats file pruning, time
+travel, schema evolution."""
 
 from __future__ import annotations
 
@@ -30,8 +31,10 @@ def test_format_icehouse_matches_scan(spark, tmp_path):
     assert rows_of(via_ds) == rows_of(tbl.scan())
 
 
-def test_pushed_predicate_prunes_files_and_matches_scan(spark, tmp_path):
-    # several appends with disjoint revisions → ts ranges prune across files
+def test_dsv2_row_filter_matches_scan_without_pushdown(spark, tmp_path):
+    # several appends with disjoint revisions; no pushFilters (the reader
+    # deliberately doesn't implement it) — Spark applies the filter
+    # row-level and the result must equal the native predicate scan
     tbl = None
     for i in range(4):
         d = generate_pages(spark, 120, seed=92 + i, partitions=1, revision=i)
@@ -49,18 +52,6 @@ def test_pushed_predicate_prunes_files_and_matches_scan(spark, tmp_path):
     want = tbl.scan([Predicate("warc_ts", ">", cutoff)])
     assert rows_of(via_ds) == rows_of(want)
     assert via_ds.count() > 0
-
-    # pruning evidence at the planner level: the reader's partition list
-    # shrinks once the filter is pushed (same prune as the native scan)
-    r = IcehouseReader({"path": tbl.path}, tbl.schema())
-    all_parts = len(r.partitions())
-    r2 = IcehouseReader({"path": tbl.path}, tbl.schema())
-    from pyspark.sql.datasource import GreaterThan
-
-    r2.pushFilters([GreaterThan(("warc_ts",), cutoff)])
-    pruned_parts = len(r2.partitions())
-    assert pruned_parts < all_parts
-    assert pruned_parts == len(tbl.planned_files([Predicate("warc_ts", ">", cutoff)]))
 
 
 def test_snapshot_option_time_travel(spark, tmp_path):
@@ -158,9 +149,10 @@ def test_write_merge_schema_option(spark, tmp_path):
 
 
 def test_dsv2_prunes_on_extra_clustered_axis(spark, tmp_path):
-    """After k-dim clustering on (url, ts, lang), a lang-equality pushdown
-    filter must prune FILE partitions in the DSv2 reader (manifest stats on
-    every clustered axis), and results must match the native scan."""
+    """After k-dim clustering on (url, ts, lang), a lang-equality
+    predicates option must prune FILE partitions in the DSv2 reader
+    (manifest stats on every clustered axis), and results must match the
+    native scan."""
     from pyspark.sql import functions as F
 
     from ecommerce_lakehouse_spark.datagen import generate_pages
@@ -177,13 +169,16 @@ def test_dsv2_prunes_on_extra_clustered_axis(spark, tmp_path):
         tbl.scan().groupBy("lang").count().orderBy("count", "lang").first()["lang"]
     )
 
-    # planner-level: pushed lang filter cuts the partition list
+    # planner-level: a lang predicates-option cuts the partition list
+    import json
+
     reader = IcehouseReader({"path": tbl.path}, tbl.schema())
     n_all = len(reader.partitions())
-    from pyspark.sql.datasource import EqualTo
-
-    reader2 = IcehouseReader({"path": tbl.path}, tbl.schema())
-    reader2.pushFilters([EqualTo(("lang",), rare)])
+    reader2 = IcehouseReader(
+        {"path": tbl.path,
+         "predicates": json.dumps([["lang", "=", rare]])},
+        tbl.schema(),
+    )
     n_pruned = len(reader2.partitions())
     assert 0 < n_pruned < n_all, (rare, n_pruned, n_all)
 
@@ -202,9 +197,9 @@ def test_dsv2_two_axis_conjunction_prunes_more_than_either_axis(spark, tmp_path)
     prune partitions() on BOTH axes' stats — strictly tighter than either
     single-axis filter — with results matching the native scan."""
     import datetime
+    import json
 
     from pyspark.sql import functions as F
-    from pyspark.sql.datasource import EqualTo, GreaterThan
 
     from ecommerce_lakehouse_spark.datagen import generate_pages
     from ecommerce_lakehouse_spark.maintenance.zorder import zorder_by
@@ -221,16 +216,18 @@ def test_dsv2_two_axis_conjunction_prunes_more_than_either_axis(spark, tmp_path)
     )
     cut = datetime.datetime(2023, 12, 5)
 
-    def n_parts(filters):
-        r = IcehouseReader({"path": tbl.path}, tbl.schema())
-        if filters:
-            r.pushFilters(filters)
-        return len(r.partitions())
+    def n_parts(triples):
+        opts = {"path": tbl.path}
+        if triples:
+            opts["predicates"] = json.dumps(triples)
+        return len(IcehouseReader(opts, tbl.schema()).partitions())
 
+    lang_eq = ["lang", "=", rare]
+    ts_gt = ["warc_ts", ">", cut.isoformat()]
     n_all = n_parts([])
-    n_lang = n_parts([EqualTo(("lang",), rare)])
-    n_ts = n_parts([GreaterThan(("warc_ts",), cut)])
-    n_both = n_parts([EqualTo(("lang",), rare), GreaterThan(("warc_ts",), cut)])
+    n_lang = n_parts([lang_eq])
+    n_ts = n_parts([ts_gt])
+    n_both = n_parts([lang_eq, ts_gt])
     assert n_lang < n_all and n_ts < n_all, (n_all, n_lang, n_ts)
     assert n_both <= min(n_lang, n_ts), (n_both, n_lang, n_ts)
     assert n_both < max(n_lang, n_ts), "conjunction must out-prune one axis"
@@ -320,3 +317,119 @@ def test_incremental_from_reads_only_appended_rows(spark, tmp_path):
 
     with _pytest.raises(Exception, match="append-only"):
         inc2.count()
+
+
+def test_dsv2_reads_initial_defaults_per_era(spark, tmp_path):
+    """format("icehouse") must mirror read_files' default boundary: the
+    driver resolves which files predate add_column(default=…) and the
+    Arrow kernel fills the constant — old-era rows read 'cc-main', rows
+    stored after the add read their stored value, including explicit
+    NULLs (never blanketed by the default)."""
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 120, seed=95, partitions=2),
+    )
+    tbl.add_column("crawl_tier", "string", default="cc-main")
+    newer = generate_pages(spark, 50, seed=96, partitions=1).withColumn(
+        "crawl_tier", F.when(F.length("url") % 2 == 0, F.lit("news"))
+    )
+    tbl.append(newer)
+    register(spark)
+    via_ds = spark.read.format("icehouse").load(tbl.path)
+    assert via_ds.count() == 170
+    assert via_ds.filter(F.col("crawl_tier") == "cc-main").count() == 120
+    n_null = newer.filter(F.col("crawl_tier").isNull()).count()
+    assert via_ds.filter(F.col("crawl_tier").isNull()).count() == n_null
+    # exact parity with the scan path
+    from collections import Counter
+
+    a = Counter((r.url, r.crawl_tier) for r in via_ds.select("url", "crawl_tier").collect())
+    b = Counter((r.url, r.crawl_tier) for r in tbl.scan().select("url", "crawl_tier").collect())
+    assert a == b
+
+
+def test_dsv2_reads_widened_column_across_eras(spark, tmp_path):
+    """format("icehouse") over a widen_column table: old int32 files and
+    new int64 files resolve under one LONG schema via the Arrow cast."""
+    from pyspark.sql.types import LongType
+
+    base = generate_pages(spark, 100, seed=97, partitions=2).withColumn(
+        "fetch_status", (F.crc32("url") % 500).cast("int")
+    )
+    tbl = IcehouseTable.create(spark, str(tmp_path / "t"), base)
+    tbl.widen_column("fetch_status", "long")
+    tbl.append(
+        generate_pages(spark, 30, seed=98, partitions=1).withColumn(
+            "fetch_status", (F.crc32("url") % 500).cast("long")
+        )
+    )
+    register(spark)
+    via_ds = spark.read.format("icehouse").load(tbl.path)
+    assert isinstance(via_ds.schema["fetch_status"].dataType, LongType)
+    assert via_ds.count() == 130
+    assert via_ds.filter(F.col("fetch_status").isNull()).count() == 0
+    a = sorted((r.url, r.fetch_status) for r in via_ds.select("url", "fetch_status").collect())
+    b = sorted((r.url, r.fetch_status) for r in tbl.scan().select("url", "fetch_status").collect())
+    assert a == b
+
+
+def test_dsv2_unfiltered_action_after_filtered_sees_all_rows(spark, tmp_path):
+    """Regression for the PythonDataSourceV2 readInfo cache leak: Spark
+    keeps ONE mutable partition plan per loaded relation and only
+    filtered queries replan. With automatic Python filter pushdown
+    enabled, a filtered action pruned files and a later UNFILTERED
+    action on the same DataFrame silently reused the pruned plan
+    (observed: .filter(isNull).count() then .collect() → 0 rows).
+    Auto pushdown is now off; this pins the end-to-end symptom."""
+    tbl = None
+    for i in range(3):
+        d = generate_pages(spark, 100, seed=300 + i, partitions=1, revision=i)
+        if tbl is None:
+            tbl = IcehouseTable.create(spark, str(tmp_path / "t"), d)
+        else:
+            tbl.append(d)
+    register(spark)
+    df = spark.read.format("icehouse").load(tbl.path)
+    # filtered first (would prune to rev-2 files under auto pushdown) …
+    cutoff = datetime.datetime(2024, 2, 1)
+    assert df.filter(F.col("warc_ts") > F.lit(cutoff)).count() < 300
+    # … then unfiltered actions on the SAME DataFrame: all rows, twice
+    assert df.count() == 300
+    assert len(df.collect()) == 300
+    # and a DIFFERENT filter is answered from its own plan, not the old one
+    assert df.filter(F.col("warc_ts") <= F.lit(cutoff)).count() > 0
+
+
+def test_dsv2_predicates_option_prunes_files_and_matches_scan(spark, tmp_path):
+    """Relation-scoped pruning: .option("predicates", …) is part of the
+    relation identity (cache-safe, unlike pushFilters) and must cut the
+    planned partition list by manifest stats. It prunes FILES
+    conservatively; pairing with the same .filter gives exact rows."""
+    import json
+
+    tbl = None
+    for i in range(4):
+        d = generate_pages(spark, 120, seed=310 + i, partitions=1, revision=i)
+        if tbl is None:
+            tbl = IcehouseTable.create(spark, str(tmp_path / "t"), d)
+        else:
+            tbl.append(d)
+    register(spark)
+    cutoff = datetime.datetime(2024, 1, 20)
+    preds = json.dumps([["warc_ts", ">", cutoff.isoformat()]])
+
+    # planner-level: the option alone shrinks partitions()
+    r_all = IcehouseReader({"path": tbl.path}, tbl.schema())
+    r_opt = IcehouseReader(
+        {"path": tbl.path, "predicates": preds}, tbl.schema()
+    )
+    n_all, n_opt = len(r_all.partitions()), len(r_opt.partitions())
+    assert 0 < n_opt < n_all
+    assert n_opt == len(tbl.planned_files([Predicate("warc_ts", ">", cutoff)]))
+
+    # end-to-end: option + matching row filter == native predicate scan
+    got = (
+        spark.read.format("icehouse").option("predicates", preds)
+        .load(tbl.path).filter(F.col("warc_ts") > F.lit(cutoff))
+    )
+    assert rows_of(got) == rows_of(tbl.scan([Predicate("warc_ts", ">", cutoff)]))
