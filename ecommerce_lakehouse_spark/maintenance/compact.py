@@ -28,6 +28,9 @@ from .ledger import JobLedger
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 SMALL_FILE_RATIO = 0.75
+# positional-delete ratio at which a file is rewritten regardless of size
+# (Iceberg rewrite_data_files delete-ratio default)
+DELETE_RATIO = 0.3
 
 
 @dataclass
@@ -50,8 +53,18 @@ def plan_compaction(
     small_file_ratio: float = SMALL_FILE_RATIO,
     min_bin_files: int = 2,
     snapshot=None,
+    delete_ratio: float | None = DELETE_RATIO,
 ) -> list[CompactionBin]:
     """First-fit-decreasing pack of small files into ≈target-size bins.
+
+    Besides small files, any file whose merge-on-read positional-delete
+    ratio reaches ``delete_ratio`` is a candidate REGARDLESS of size
+    (Iceberg rewrite_data_files' delete-threshold analog): every scan pays
+    the file's DV anti-join until a rewrite materializes the deletes, so
+    delete-heavy files earn a rewrite on their own — they may form
+    single-file bins, exempt from ``min_bin_files``. The ratio comes from
+    the delete registry (driver-side metadata; no data read).
+    ``delete_ratio=None`` disables the criterion.
 
     On bucketed tables, bins never cross bucket boundaries — nor spec
     GENERATIONS after set_bucket_spec (bucket 3 of n=8 and bucket 3 of
@@ -61,12 +74,24 @@ def plan_compaction(
     still be packed together."""
     from ..table.format import bucket_spec_of_file
 
+    snap = snapshot or table.current_snapshot()
+    reg = table.delete_registry(snap) if delete_ratio is not None else {}
+
+    def _delete_heavy(f: DataFile) -> bool:
+        if delete_ratio is None or not f.row_count:
+            return False
+        return reg.get(f.path, {}).get("rows", 0) / f.row_count >= delete_ratio
+
+    delete_driven = set()
+    candidates = []
     threshold = int(target_file_bytes * small_file_ratio)
-    small = sorted(
-        (f for f in table.live_files(snapshot) if f.size_bytes < threshold),
-        key=lambda f: f.size_bytes,
-        reverse=True,
-    )
+    for f in table.live_files(snap):
+        heavy = _delete_heavy(f)
+        if f.size_bytes < threshold or heavy:
+            candidates.append(f)
+            if heavy:
+                delete_driven.add(f.path)
+    small = sorted(candidates, key=lambda f: f.size_bytes, reverse=True)
     groups: dict = {}
     for f in small:
         groups.setdefault(bucket_spec_of_file(f), []).append(f)
@@ -89,7 +114,11 @@ def plan_compaction(
                 loads.append(f.size_bytes)
         all_bins.extend(bins)
     out = []
-    for i, files in enumerate(b for b in all_bins if len(b) >= min_bin_files):
+    kept = (
+        b for b in all_bins
+        if len(b) >= min_bin_files or any(f.path in delete_driven for f in b)
+    )
+    for i, files in enumerate(kept):
         files = sorted(files, key=lambda f: f.path)
         out.append(CompactionBin(bin_id=f"bin{i:05d}", files=files))
     return out
@@ -165,16 +194,19 @@ def compact(
     max_concurrency: int = 8,
     stats_cols: list[str] | None = None,
     branch: str | None = None,
+    delete_ratio: float | None = DELETE_RATIO,
 ) -> Snapshot | None:
-    """Compact small files; returns the new snapshot (None if nothing to
-    do). ``branch`` compacts the branch head and advances the branch
-    pointer — maintenance as a write-audit-publish workflow."""
+    """Compact small and delete-heavy files; returns the new snapshot
+    (None if nothing to do). ``branch`` compacts the branch head and
+    advances the branch pointer — maintenance as a write-audit-publish
+    workflow."""
     snap = (
         table._resolve_snapshot(branch) if branch is not None
         else table.current_snapshot()
     )
     bins = plan_compaction(table, target_file_bytes, small_file_ratio,
-                           min_bin_files, snapshot=snap)
+                           min_bin_files, snapshot=snap,
+                           delete_ratio=delete_ratio)
     if not bins:
         return None
     plan_repr = ";".join(f"{b.bin_id}:{','.join(f.path for f in b.files)}" for b in bins)

@@ -33,6 +33,12 @@ def main() -> None:
         "cluster-* snapshot (daily-OPTIMIZE mode; O(new data), not O(table))",
     )
     ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument(
+        "--delete-ratio", type=float, default=0.3,
+        help="rewrite files whose positional-delete ratio reaches this "
+             "(<=0 disables); Iceberg rewrite_data_files delete-threshold "
+             "analog",
+    )
     ap.add_argument("--keep-snapshots", type=int, default=2)
     ap.add_argument("--skip-compact", action="store_true")
     ap.add_argument("--skip-expire", action="store_true")
@@ -103,7 +109,10 @@ def main() -> None:
 
     if not args.skip_compact:
         t0 = time.time()
-        snap = compact(tbl, target_file_bytes=target, branch=args.branch)
+        snap = compact(
+            tbl, target_file_bytes=target, branch=args.branch,
+            delete_ratio=args.delete_ratio if args.delete_ratio > 0 else None,
+        )
         metrics["compact"] = {
             "sec": round(time.time() - t0, 2),
             "ran": snap is not None,

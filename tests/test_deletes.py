@@ -530,3 +530,58 @@ def test_new_delete_still_aborts_inflight_rewrite_after_consolidation(spark, tbl
             [f.path for f in files], None, operation="compact",
             precomputed_added=staged, base_delete_registry=base,
         )
+
+
+def test_delete_heavy_file_compacts_regardless_of_size(spark, tmp_path):
+    """A file whose DV delete-ratio reaches DELETE_RATIO is rewritten even
+    though it is not small (Iceberg rewrite_data_files delete-threshold
+    analog) — merge-on-read deletes get materialized by maintenance
+    instead of taxing every scan forever."""
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "pages"),
+        generate_pages(spark, 1000, seed=67, partitions=1),
+    )
+    (f,) = tbl.live_files()
+    # threshold = 0.75*target < f.size_bytes: the file is NOT small
+    target = f.size_bytes
+    assert compact(tbl, target_file_bytes=target) is None, "no deletes yet"
+
+    victims = [
+        r.url for r in
+        tbl.scan().select("url").orderBy("url").limit(400).collect()
+    ]  # 40% ≥ DELETE_RATIO (0.3)
+    delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+    before = sorted(r.url for r in tbl.scan().select("url").collect())
+
+    snap = compact(tbl, target_file_bytes=target)
+    assert snap is not None and snap.operation == "compact"
+    assert tbl.current_snapshot().delete_manifest is None, "DVs materialized"
+    assert f.path not in {x.path for x in tbl.live_files()}
+    assert sorted(r.url for r in tbl.scan().select("url").collect()) == before
+    assert tbl.scan().count() == 600
+
+
+def test_light_delete_ratio_leaves_file_alone(spark, tmp_path):
+    """Below DELETE_RATIO the file stays merge-on-read (a rewrite would
+    cost more IO than the DV anti-join saves); delete_ratio=None disables
+    the criterion entirely."""
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "pages"),
+        generate_pages(spark, 1000, seed=68, partitions=1),
+    )
+    (f,) = tbl.live_files()
+    target = f.size_bytes
+    few = [
+        r.url for r in
+        tbl.scan().select("url").orderBy("url").limit(50).collect()
+    ]  # 5% < DELETE_RATIO
+    delete_where(tbl, [Predicate("url", "in", tuple(few))])
+    assert compact(tbl, target_file_bytes=target) is None
+
+    more = [
+        r.url for r in
+        tbl.scan().select("url").orderBy("url").limit(400).collect()
+    ]
+    delete_where(tbl, [Predicate("url", "in", tuple(more))])
+    assert compact(tbl, target_file_bytes=target, delete_ratio=None) is None
+    assert compact(tbl, target_file_bytes=target) is not None
