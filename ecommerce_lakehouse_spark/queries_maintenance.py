@@ -377,6 +377,56 @@ FROM merged WHERE url IN (SELECT url FROM victims)
 """
 
 
+def m_dsv2_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSv2 face of the change feed: the SAME merge+delete history as
+    :func:`m_changes_cdc`, read back through
+    ``spark.read.format("icehouse").option("cdc", "true")`` with
+    ``cdc_buckets=3`` — so the executor-side hash-bucketed Arrow diff
+    kernel (sources/datasource.py _read_cdc_partition), not the DataFrame
+    engine, produces the rows. Shares m_changes_cdc's relational oracle:
+    both surfaces must state the identical delta set."""
+    from .operators.merge import dedup_latest, merge_into
+    from .sources.datasource import register
+    from .table import IcehouseTable, Predicate, delete_where
+
+    d = _fresh_dir()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "merge_base", 4)
+        )
+        delta = dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        )
+        merge_into(tbl, delta, "url")  # snapshot 2
+        urls = sorted(
+            r.url
+            for r in tbl.scan().select("url").distinct()
+            .orderBy("url").limit(4096).collect()
+        )
+        victims = tuple(urls[::181][:10])
+        delete_where(tbl, [Predicate("url", "in", victims)])  # snapshot 3
+        register(spark)
+        cdc = (
+            spark.read.format("icehouse")
+            .option("cdc", "true")
+            .option("key_cols", "url")
+            .option("incremental_from", "1")
+            .option("cdc_buckets", "3")
+            .load(tbl.path)
+        )
+        return cdc.select(
+            "url",
+            F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts_us"),
+            F.length("text").alias("text_len"),
+            "lang",
+            "_change_type",
+            "_commit_snapshot_id",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def m_branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish via a BRANCH: the SCD1 merge runs on branch
     'audit' (main untouched — asserted), then fast_forward publishes by
@@ -692,6 +742,8 @@ MAINTENANCE_REGISTRY: dict = {
     "m_delete_vectors_pages": (m_delete_vectors_pages, SQL_M_DELETE_VECTORS),
     "m_incremental_changes": (m_incremental_changes, SQL_M_INCREMENTAL_CHANGES),
     "m_changes_cdc": (m_changes_cdc, SQL_M_CHANGES_CDC),
+    # same history read through the DSv2 cdc reader (bucketed Arrow diff)
+    "m_dsv2_cdc_scan": (m_dsv2_cdc_scan, SQL_M_CHANGES_CDC),
     # the three round-5 surfaces below must each land the table in exactly
     # the post-SCD1-merge state — one relational oracle pins all of them
     "m_branch_wap_publish": (m_branch_wap_publish, SQL_M_MERGE_SCD1),

@@ -35,6 +35,19 @@ Streaming: ``spark.readStream.format("icehouse")`` consumes appends per
 micro-batch with snapshot-id offsets (see IcehouseStreamReader) — options
 starting_snapshot_id and skip_row_changes.
 
+CDC (batch and streaming): ``.option("cdc", "true")`` reads the snapshot
+range as a row-level CHANGE FEED (table columns + _change_type +
+_commit_snapshot_id — the DSv2 face of ``IcehouseTable.changes(cdc=True)``):
+batch reads the range (incremental_from, current/snapshot_id]; streaming
+emits each micro-batch's range as deltas, so MERGE/DELETE snapshots flow
+instead of failing the stream. ``key_cols`` (comma-separated) classifies a
+same-key delete+insert as an update_before/update_after pair. The
+per-snapshot multiset diff runs EXECUTOR-side in Arrow over only the files
+the snapshot touched, split into deterministic row-hash buckets
+(``cdc_buckets`` override, or sized from touched bytes /
+``cdc_bucket_bytes``), so planning needs no JVM and per-task memory stays
+bounded at 100-TB table sizes.
+
 Trade-off vs `IcehouseTable.scan()`: scan() hands Spark a native parquet
 relation (JVM vectorized reader, whole-stage codegen into the scan), while
 this path decodes parquet in Python workers through Arrow. Correctness and
@@ -82,6 +95,238 @@ class IcehouseFilePartition(InputPartition):
         self.defaults = defaults or {}
 
 
+class IcehouseCdcInsertPartition(InputPartition):
+    """One appended file, emitted as ``insert`` rows of snapshot ``sid``
+    (the per-file fan-out of an append snapshot in a CDC range)."""
+
+    def __init__(self, file_part: IcehouseFilePartition, sid: int):
+        self.file_part = file_part
+        self.sid = sid
+
+
+class IcehouseCdcDiffPartition(InputPartition):
+    """One (row-set-changing snapshot, row-hash bucket) diff task.
+
+    ``before`` file partitions read at the PARENT snapshot's delete
+    registry, ``after`` at the snapshot's; the executor multiset-diffs the
+    two sides (exceptAll semantics — copy-on-write carry-over rows cancel)
+    and keeps only rows whose deterministic hash lands in ``bucket`` of
+    ``n_buckets``, so memory per task is O(touched bytes / n_buckets): the
+    driver sizes n_buckets from the touched-file bytes, never from row
+    counts it would have to scan for."""
+
+    def __init__(self, before: list, after: list, sid: int, bucket: int,
+                 n_buckets: int, key_cols: list | None):
+        self.before = before
+        self.after = after
+        self.sid = sid
+        self.bucket = bucket
+        self.n_buckets = n_buckets
+        self.key_cols = key_cols
+
+
+# touched-bytes per diff task before the planner splits a snapshot's diff
+# into more hash buckets (keeps the executor-side pandas diff in memory)
+DEFAULT_CDC_BUCKET_BYTES = 256 * 1024 * 1024
+
+CDC_META_FIELDS = ("_change_type", "_commit_snapshot_id")
+
+
+def _cdc_options(low: dict) -> dict:
+    """Parse the shared cdc reader options (batch + stream)."""
+    key_cols = [
+        c.strip() for c in (low.get("key_cols") or "").split(",") if c.strip()
+    ]
+    return {
+        "cdc": str(low.get("cdc", "false")).lower() == "true",
+        "key_cols": key_cols or None,
+        "n_buckets": int(low["cdc_buckets"]) if low.get("cdc_buckets") else None,
+        "bucket_bytes": int(low.get("cdc_bucket_bytes")
+                            or DEFAULT_CDC_BUCKET_BYTES),
+    }
+
+
+def _cdc_partitions(table, ordered, by_id, opts: dict) -> list:
+    """Plan a CDC snapshot range as input partitions: append snapshots fan
+    out per added file (pure inserts, no diff), row-set-changing snapshots
+    become ``n_buckets`` hash-bucketed diff tasks over only the files the
+    snapshot touched. Pure metadata I/O — safe in the streaming planner."""
+    import math
+
+    parts: list = []
+    for plan in table.cdc_snapshot_plans(ordered, by_id):
+        s = plan["snap"]
+        if plan["op"] == "append":
+            for fp in _file_partitions(table, plan["added"], s):
+                parts.append(IcehouseCdcInsertPartition(fp, s.snapshot_id))
+            continue
+        before = _file_partitions(table, plan["before"], plan["parent"])
+        after = _file_partitions(table, plan["after"], s)
+        if not before and not after:
+            continue
+        touched = sum(f.size_bytes for f in plan["before"]) + sum(
+            f.size_bytes for f in plan["after"]
+        )
+        n = opts["n_buckets"] or max(
+            1, math.ceil(touched / opts["bucket_bytes"])
+        )
+        for b in range(n):
+            parts.append(IcehouseCdcDiffPartition(
+                before, after, s.snapshot_id, b, n, opts["key_cols"]
+            ))
+    return parts
+
+
+def _read_cdc_partition(partition, cdc_schema: StructType):
+    """Executor-side CDC kernel: emit a partition's change rows as Arrow
+    batches typed ``table columns + _change_type + _commit_snapshot_id``.
+
+    Insert partitions reuse the plain file kernel and tag rows. Diff
+    partitions read both sides through the SAME kernel (delete registries
+    and schema evolution already applied), concatenate into ONE Arrow
+    table (one table → one pandas dtype inference, so a value hashes and
+    groups identically on both sides), keep the task's hash bucket, and
+    compute the multiset diff with a vectorized group-id + signed-count
+    pass — net-negative groups are deletes, net-positive inserts, and with
+    ``key_cols`` a delete and insert of the same key classify as an
+    update_before/update_after pair (the batch feed's semantics,
+    table/format.py _changes_cdc). Output rows are ``take``n from the
+    original Arrow table, so values never round-trip through pandas."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType as _St
+
+    base_schema = _St([
+        f for f in cdc_schema.fields if f.name not in CDC_META_FIELDS
+    ])
+    want = to_arrow_schema(cdc_schema)
+
+    def _tagged(tbl: pa.Table, ctype: str, sid: int):
+        n = tbl.num_rows
+        tbl = tbl.append_column(
+            "_change_type", pa.array([ctype] * n, pa.string())
+        ).append_column(
+            "_commit_snapshot_id", pa.array([sid] * n, pa.int64())
+        )
+        return tbl.cast(want)
+
+    if isinstance(partition, IcehouseCdcInsertPartition):
+        batches = list(_read_partition_arrow(partition.file_part, base_schema))
+        if batches:
+            tbl = pa.Table.from_batches(batches)
+            yield from _tagged(tbl, "insert", partition.sid).to_batches(
+                max_chunksize=65536
+            )
+        return
+
+    def _side(parts_) -> pa.Table:
+        batches = []
+        for p in parts_:
+            batches.extend(_read_partition_arrow(p, base_schema))
+        base = to_arrow_schema(base_schema)
+        if not batches:
+            return pa.table(
+                {f.name: pa.nulls(0, type=f.type) for f in base}, schema=base
+            )
+        return pa.Table.from_batches(batches)
+
+    before_t, after_t = _side(partition.before), _side(partition.after)
+    nb = before_t.num_rows
+    combined = pa.concat_tables([before_t, after_t])
+    if combined.num_rows == 0:
+        return
+    # ONE pandas conversion for both sides: dtype inference (e.g. int64
+    # with nulls) is then identical, so equal values group together.
+    # integer_object_nulls keeps int columns exact (no 2^53 float loss).
+    df = combined.to_pandas(integer_object_nulls=True)
+    cols = list(df.columns)
+    for c in cols:
+        # lists arrive as ndarray (unhashable) — tuple-ify for groupby
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (np.ndarray, list, dict))
+        ).any():
+            df[c] = df[c].map(_hashable_value)
+    hcols = partition.key_cols or cols
+    if partition.n_buckets > 1:
+        # deterministic (siphash, fixed key) row hash: every bucket task
+        # of this snapshot reads the same combined frame, so a logical row
+        # lands in exactly one task. Bucketing by key_cols keeps a key's
+        # delete+insert together for update classification.
+        h = pd.util.hash_pandas_object(df[hcols], index=False).to_numpy()
+        mask = (h % np.uint64(partition.n_buckets)) == partition.bucket
+        if not mask.any():
+            return
+        keep_idx = np.flatnonzero(mask)
+        df = df.iloc[keep_idx].reset_index(drop=True)
+        combined = combined.take(pa.array(keep_idx))
+        nb = int(mask[:nb].sum())
+    side = np.concatenate([
+        np.full(nb, -1, dtype=np.int64),
+        np.full(len(df) - nb, 1, dtype=np.int64),
+    ])
+    gid = df.groupby(cols, dropna=False, sort=False).ngroup().to_numpy()
+    n_g = int(gid.max()) + 1 if len(gid) else 0
+    if not n_g:
+        return
+    delta = np.zeros(n_g, dtype=np.int64)
+    np.add.at(delta, gid, side)
+    first = (
+        pd.Series(np.arange(len(gid))).groupby(gid).min().to_numpy()
+    )  # first combined-row index per group (groups are 0..n_g-1)
+    if partition.key_cols:
+        kgid = df.groupby(
+            partition.key_cols, dropna=False, sort=False
+        ).ngroup().to_numpy()
+        gkey = kgid[first]  # each group's key-group
+        del_keys = set(gkey[delta < 0])
+        ins_keys = set(gkey[delta > 0])
+        upd = del_keys & ins_keys
+        buckets = {
+            "update_before": (delta < 0) & np.isin(gkey, list(upd)),
+            "delete": (delta < 0) & ~np.isin(gkey, list(upd)),
+            "update_after": (delta > 0) & np.isin(gkey, list(upd)),
+            "insert": (delta > 0) & ~np.isin(gkey, list(upd)),
+        }
+    else:
+        buckets = {"delete": delta < 0, "insert": delta > 0}
+    for ctype, gmask in buckets.items():
+        if not gmask.any():
+            continue
+        reps = np.repeat(first[gmask], np.abs(delta[gmask]))
+        out = combined.take(pa.array(reps))
+        yield from _tagged(out, ctype, partition.sid).to_batches(
+            max_chunksize=65536
+        )
+
+
+def _hashable_value(v):
+    """Recursively convert a to_pandas cell into something hashable with
+    value equality (ndarray/list → tuple, dict → sorted item tuple)."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return tuple(_hashable_value(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_hashable_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _hashable_value(x)) for k, x in v.items()))
+    return v
+
+
+def _cdc_struct_schema(table) -> StructType:
+    """The table schema + CDC meta columns (what .option("cdc") reads)."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        list(table.schema().fields) + [
+            StructField("_change_type", StringType(), False),
+            StructField("_commit_snapshot_id", LongType(), False),
+        ]
+    )
+
+
 class IcehouseReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         self._path = options.get("path")
@@ -101,6 +346,12 @@ class IcehouseReader(DataSourceReader):
             int(low["incremental_from"])
             if low.get("incremental_from") is not None else None
         )
+        # cdc=true: read the range (incremental_from, to] as a row-level
+        # CHANGE FEED (table cols + _change_type + _commit_snapshot_id) —
+        # the DSv2 face of IcehouseTable.changes(cdc=True); works across
+        # merge/delete/overwrite snapshots the plain incremental read
+        # rejects. incremental_from defaults to 0 (feed since creation).
+        self._cdc = _cdc_options(low)
         self._schema = schema
         # predicates: explicit, RELATION-SCOPED file pruning — a JSON list
         # of [column, op, value] triples, e.g.
@@ -152,6 +403,18 @@ class IcehouseReader(DataSourceReader):
         spark = SparkSession.getActiveSession()
         table = IcehouseTable(spark, self._path)
         snap = table._resolve_snapshot(self._snapshot_id)
+        if self._cdc["cdc"]:
+            if self._option_predicates:
+                raise ValueError(
+                    "icehouse: option 'predicates' prunes FILES by stats, "
+                    "which would drop change rows from a cdc read — filter "
+                    "the feed with .filter(...) instead"
+                )
+            ordered, by_id = table.snapshot_range(
+                self._incremental_from or 0, snap
+            )
+            parts = _cdc_partitions(table, ordered, by_id, self._cdc)
+            return parts or [IcehouseFilePartition(None)]
         # option-declared predicates only: stateless wrt query execution,
         # so every replan of this relation yields the same (correct) plan
         predicates = self._option_predicates
@@ -178,7 +441,11 @@ class IcehouseReader(DataSourceReader):
 
     # -- execution (executor side, Arrow-batched) ---------------------------
 
-    def read(self, partition: IcehouseFilePartition):
+    def read(self, partition):
+        if isinstance(partition,
+                      (IcehouseCdcInsertPartition, IcehouseCdcDiffPartition)):
+            yield from _read_cdc_partition(partition, self._schema)
+            return
         yield from _read_partition_arrow(partition, self._schema)
 
 
@@ -470,7 +737,11 @@ class IcehouseDataSource(DataSource):
         from ..table.format import IcehouseTable
 
         spark = SparkSession.getActiveSession()
-        return IcehouseTable(spark, self.options["path"]).schema()
+        table = IcehouseTable(spark, self.options["path"])
+        low = {k.lower(): v for k, v in self.options.items()}
+        if str(low.get("cdc", "false")).lower() == "true":
+            return _cdc_struct_schema(table)
+        return table.schema()
 
     def reader(self, schema: StructType) -> IcehouseReader:
         return IcehouseReader(dict(self.options), schema)
@@ -547,6 +818,17 @@ class IcehouseStreamReader(DataSourceStreamReader):
         self._skip_row_changes = (
             str(low.get("skip_row_changes", "false")).lower() == "true"
         )
+        # cdc=true: each micro-batch is the row-level CHANGE FEED of its
+        # snapshot range — streaming changes(cdc=True); merge/delete
+        # snapshots emit their deltas instead of failing the stream.
+        # key_cols classifies same-key delete+insert as update pairs;
+        # cdc_buckets / cdc_bucket_bytes bound per-task diff memory.
+        self._cdc = _cdc_options(low)
+        if self._cdc["cdc"] and self._skip_row_changes:
+            raise ValueError(
+                "icehouse: cdc and skip_row_changes are mutually exclusive "
+                "(the cdc feed already represents row-set changes)"
+            )
         self._schema = schema
 
     def _table(self):
@@ -577,19 +859,17 @@ class IcehouseStreamReader(DataSourceStreamReader):
         if hi <= lo:
             return [IcehouseFilePartition(None)]
         to_snap = table._resolve_snapshot(hi)
-        by_id = {s.snapshot_id: s for s in table.snapshots()}
-        in_range = []
-        cur = to_snap
-        while cur is not None and cur.snapshot_id != lo:
-            in_range.append(cur)
-            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
-        if cur is None and lo != 0:
+        try:
+            ordered, by_id = table.snapshot_range(lo, to_snap)
+        except ValueError as e:
             raise ValueError(
-                f"icehouse stream: snapshot {lo} is not an ancestor of "
-                f"{hi} (expired before the stream consumed it — lower the "
-                f"expiry cadence or restart the stream)"
-            )
-        ordered = sorted(in_range, key=lambda s: s.snapshot_id)
+                f"icehouse stream: {e} — the offset expired before the "
+                f"stream consumed it; lower the expiry cadence or restart "
+                f"the stream"
+            ) from e
+        if self._cdc["cdc"]:
+            parts = _cdc_partitions(table, ordered, by_id, self._cdc)
+            return parts or [IcehouseFilePartition(None)]
         if self._skip_row_changes:
             files = []
             for s in ordered:
@@ -605,7 +885,11 @@ class IcehouseStreamReader(DataSourceStreamReader):
         parts = _file_partitions(table, files, to_snap)
         return parts or [IcehouseFilePartition(None)]
 
-    def read(self, partition: IcehouseFilePartition):
+    def read(self, partition):
+        if isinstance(partition,
+                      (IcehouseCdcInsertPartition, IcehouseCdcDiffPartition)):
+            yield from _read_cdc_partition(partition, self._schema)
+            return
         yield from _read_partition_arrow(partition, self._schema)
 
     def commit(self, end: dict) -> None:
@@ -613,6 +897,26 @@ class IcehouseStreamReader(DataSourceStreamReader):
 
 
 def register(spark) -> None:
+    # Streaming planner import path: the stream reader's offset/partition
+    # planning runs in a SEPARATE Python planner process ("streaming_job"
+    # artifact scope) that — unlike task workers — never materializes
+    # --py-files into its SparkFiles dir, so unpickling the DataSource
+    # there raises ModuleNotFoundError under a packaged (zip) deployment.
+    # The wrapped function's envVars ARE forwarded to that process, so
+    # pin this package's root (a directory, or the deployed zip itself —
+    # zipimport handles both) onto its PYTHONPATH. Must happen BEFORE
+    # dataSource.register(): the env is captured at wrap time.
+    import os
+
+    import ecommerce_lakehouse_spark as _pkg
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+    sc = spark.sparkContext
+    current = sc.environment.get("PYTHONPATH", "")
+    if pkg_root not in current.split(os.pathsep):
+        sc.environment["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + current if current else "")
+        )
     # The reader deliberately has NO pushFilters: with
     # spark.sql.python.filterPushdown.enabled, PythonDataSourceV2 keeps ONE
     # mutable readInfo cache per loaded relation and only filtered queries

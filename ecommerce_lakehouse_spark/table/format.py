@@ -2080,9 +2080,25 @@ class IcehouseTable:
                 f"changes(): from={from_snapshot_id} is newer than "
                 f"to={to_snap.snapshot_id}"
             )
-        # walk the PARENT CHAIN from `to` back to `from` — an id-range scan
-        # would wrongly include staged (publish=False) side snapshots that
-        # were never part of this lineage
+        ordered, by_id = self.snapshot_range(from_snapshot_id, to_snap)
+        if cdc:
+            return self._changes_cdc(
+                self.cdc_snapshot_plans(ordered, by_id), cdc_schema, key_cols
+            )
+        return self.read_files(
+            self._appended_files(ordered), snapshot=to_snap
+        )
+
+    def snapshot_range(
+        self, from_snapshot_id: int, to_snap: "Snapshot"
+    ) -> tuple[list["Snapshot"], dict[int, "Snapshot"]]:
+        """(lineage-ordered snapshots in ``(from, to]``, id→snapshot map).
+
+        Walks the PARENT CHAIN from ``to`` back to ``from`` — an id-range
+        scan would wrongly include staged (publish=False) side snapshots
+        that were never part of this lineage. Pure metadata I/O (no Spark
+        jobs): shared by :meth:`changes`, :meth:`incremental_files` and the
+        DSv2 batch/stream readers, all of which may plan without a JVM."""
         by_id = {s.snapshot_id: s for s in self.snapshots()}
         in_range: list[Snapshot] = []
         cur: Snapshot | None = to_snap
@@ -2094,12 +2110,7 @@ class IcehouseTable:
                 f"changes(): snapshot {from_snapshot_id} is not an ancestor "
                 f"of {to_snap.snapshot_id} (expired or staged lineage)"
             )
-        ordered = sorted(in_range, key=lambda s: s.snapshot_id)
-        if cdc:
-            return self._changes_cdc(ordered, by_id, cdc_schema, key_cols)
-        return self.read_files(
-            self._appended_files(ordered), snapshot=to_snap
-        )
+        return sorted(in_range, key=lambda s: s.snapshot_id), by_id
 
     def _appended_files(self, ordered: list[Snapshot]) -> list[DataFile]:
         """The file list an append-only incremental range reduces to (also
@@ -2134,68 +2145,37 @@ class IcehouseTable:
         to_snap = self._resolve_snapshot(to_snapshot_id)
         if to_snap is None:
             return [], None
-        by_id = {s.snapshot_id: s for s in self.snapshots()}
-        in_range: list[Snapshot] = []
-        cur: Snapshot | None = to_snap
-        while cur is not None and cur.snapshot_id != from_snapshot_id:
-            in_range.append(cur)
-            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
-        if cur is None and from_snapshot_id != 0:
-            raise ValueError(
-                f"changes(): snapshot {from_snapshot_id} is not an ancestor "
-                f"of {to_snap.snapshot_id} (expired or staged lineage)"
-            )
-        ordered = sorted(in_range, key=lambda s: s.snapshot_id)
+        ordered, _ = self.snapshot_range(from_snapshot_id, to_snap)
         return self._appended_files(ordered), to_snap
 
-    def _changes_cdc(
-        self,
-        ordered: list[Snapshot],
-        by_id: dict[int, Snapshot],
-        cdc_schema: StructType,
-        key_cols: list[str] | None,
-    ) -> DataFrame:
-        """The cdc=True engine of :meth:`changes` — see its docstring."""
-        from pyspark.sql import functions as F
-
-        cols = [f.name for f in cdc_schema.fields[:-2]]
-
-        def _tag(df: DataFrame, ctype: str, sid: int) -> DataFrame:
-            return df.select(*cols).withColumn(
-                "_change_type", F.lit(ctype)
-            ).withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
-
-        def _added_files(s: Snapshot) -> list[DataFile]:
-            return [
+    def cdc_snapshot_plans(
+        self, ordered: list["Snapshot"], by_id: dict[int, "Snapshot"]
+    ) -> list[dict]:
+        """Per-snapshot FILE-level CDC plan for a lineage-ordered range —
+        pure metadata I/O (no Spark jobs), so it can run in the DSv2
+        streaming planner process. Each entry is either
+        ``{"snap", "op": "append", "added"}`` (every added file's rows are
+        inserts) or ``{"snap", "op": "diff", "parent", "before", "after"}``
+        (read ``before`` at the parent and ``after`` at the snapshot, then
+        multiset-diff; ``exceptAll`` cancellation drops the rows a
+        copy-on-write rewrite carried over unchanged). ``before``/``after``
+        hold only the files the snapshot TOUCHED — removed files, files
+        whose effective delete entries changed, and added files — so the
+        cost is O(files touched), never O(table). Shared by the DataFrame
+        feed (:meth:`changes` with ``cdc=True``) and the DSv2 cdc
+        readers."""
+        plans: list[dict] = []
+        for s in ordered:
+            if s.operation.startswith(self._CONTENT_NEUTRAL_OPS):
+                continue
+            added = [
                 f
                 for e in self.manifest_entries_of(s)
                 for f in self._read_manifest(e["path"])
                 if f.added_by == s.snapshot_id
             ]
-
-        def _eff_deletes(reg: dict, f: DataFile):
-            """A file's effective delete state under a registry — DV entry
-            content plus the equality entries that cover it (sequence
-            semantics as in read_files)."""
-            ent = reg["entries"].get(f.path)
-            eqs = tuple(sorted(
-                (e["path"], e["seq"])
-                for e in reg["eq"]
-                if (f.added_by or 0) <= e["seq"]
-            ))
-            return (json.dumps(ent, sort_keys=True), eqs)
-
-        parts: list[DataFrame] = []
-        for s in ordered:
-            if s.operation.startswith(self._CONTENT_NEUTRAL_OPS):
-                continue
-            added = _added_files(s)
             if s.operation == "append":
-                if added:
-                    parts.append(
-                        _tag(self.read_files(added, snapshot=s), "insert",
-                             s.snapshot_id)
-                    )
+                plans.append({"snap": s, "op": "append", "added": added})
                 continue
             parent = (
                 by_id.get(s.parent_id) if s.parent_id is not None else None
@@ -2211,12 +2191,58 @@ class IcehouseTable:
             touched = [
                 f for f in parent_files
                 if f.path in s_paths
-                and _eff_deletes(p_reg, f) != _eff_deletes(s_reg, f)
+                and self._eff_delete_state(p_reg, f)
+                != self._eff_delete_state(s_reg, f)
             ]
-            before_files = removed + touched
-            after_files = added + touched
+            plans.append({
+                "snap": s, "op": "diff", "parent": parent,
+                "before": removed + touched, "after": added + touched,
+            })
+        return plans
+
+    @staticmethod
+    def _eff_delete_state(reg: dict, f: DataFile):
+        """A file's effective delete state under a registry — DV entry
+        content plus the equality entries that cover it (sequence
+        semantics as in read_files)."""
+        ent = reg["entries"].get(f.path)
+        eqs = tuple(sorted(
+            (e["path"], e["seq"])
+            for e in reg["eq"]
+            if (f.added_by or 0) <= e["seq"]
+        ))
+        return (json.dumps(ent, sort_keys=True), eqs)
+
+    def _changes_cdc(
+        self,
+        plans: list[dict],
+        cdc_schema: StructType,
+        key_cols: list[str] | None,
+    ) -> DataFrame:
+        """The cdc=True engine of :meth:`changes` — see its docstring."""
+        from pyspark.sql import functions as F
+
+        cols = [f.name for f in cdc_schema.fields[:-2]]
+
+        def _tag(df: DataFrame, ctype: str, sid: int) -> DataFrame:
+            return df.select(*cols).withColumn(
+                "_change_type", F.lit(ctype)
+            ).withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
+
+        parts: list[DataFrame] = []
+        for plan in plans:
+            s = plan["snap"]
+            if plan["op"] == "append":
+                if plan["added"]:
+                    parts.append(
+                        _tag(self.read_files(plan["added"], snapshot=s),
+                             "insert", s.snapshot_id)
+                    )
+                continue
+            before_files, after_files = plan["before"], plan["after"]
             before = (
-                self.read_files(before_files, snapshot=parent).select(*cols)
+                self.read_files(before_files, snapshot=plan["parent"])
+                .select(*cols)
                 if before_files
                 else self.spark.createDataFrame([], StructType(cdc_schema.fields[:-2]))
             )
