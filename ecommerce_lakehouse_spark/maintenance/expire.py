@@ -27,6 +27,19 @@ from ..table.format import IcehouseTable, Snapshot
 # leftovers survive the sweep by design.
 MIN_ORPHAN_GRACE_MS = 10 * 60 * 1000
 
+# Retention-policy table properties (Iceberg history.expire.* analogs),
+# consulted when the caller does not pass explicit retention arguments —
+# so a fleet-wide default maintenance job honors per-table policies set
+# once via IcehouseTable.set_properties:
+#   max-snapshot-age-ms  — snapshots older than now − age are expirable
+#   min-snapshots-to-keep — published-lineage floor (default 1)
+#   max-ref-age-ms       — tags/branches whose HEAD snapshot is older than
+#                          now − age are auto-dropped before retention is
+#                          computed (a stale branch stops pinning lineage)
+PROP_MAX_SNAPSHOT_AGE = "history.expire.max-snapshot-age-ms"
+PROP_MIN_SNAPSHOTS = "history.expire.min-snapshots-to-keep"
+PROP_MAX_REF_AGE = "history.expire.max-ref-age-ms"
+
 
 @dataclass
 class ExpireResult:
@@ -38,7 +51,7 @@ class ExpireResult:
 
 def expire_snapshots(
     table: IcehouseTable,
-    keep_last: int = 1,
+    keep_last: int | None = None,
     older_than_ms: int | None = None,
     clean_orphans: bool = True,
     orphan_grace_ms: int = 3_600_000,
@@ -51,11 +64,25 @@ def expire_snapshots(
     references the table metadata cannot see, e.g. a Catalog's pinned
     snapshot (Catalog.expire passes it automatically).
 
+    Retention POLICIES: when ``keep_last``/``older_than_ms`` are not
+    passed, the table's ``history.expire.*`` properties supply them (see
+    PROP_* above — explicit arguments always win), and refs older than
+    ``max-ref-age-ms`` are auto-dropped first, so one default maintenance
+    sweep enforces per-table policy set once via ``set_properties``.
+
     Orphan-sweep safety: staged outputs of UNFINISHED ledger jobs (a
     compaction/merge mid-rewrite — tracked only in the ledger until their
     final commit) are never swept, and the grace period is clamped to
     MIN_ORPHAN_GRACE_MS so a racing stage→commit window can't be deleted
     out from under a writer that doesn't use the ledger."""
+    props = table.properties()
+    now_ms = int(time.time() * 1000)
+    if PROP_MAX_REF_AGE in props:
+        _drop_aged_refs(table, now_ms - int(props[PROP_MAX_REF_AGE]))
+    if keep_last is None:
+        keep_last = int(props.get(PROP_MIN_SNAPSHOTS, 1))
+    if older_than_ms is None and PROP_MAX_SNAPSHOT_AGE in props:
+        older_than_ms = now_ms - int(props[PROP_MAX_SNAPSHOT_AGE])
     md = table.load_metadata()
     snaps = [Snapshot.from_json(s) for s in md["snapshots"]]
     snaps.sort(key=lambda s: s.snapshot_id)
@@ -214,6 +241,29 @@ def expire_snapshots(
     return ExpireResult(
         [s.snapshot_id for s in expired], deleted_data, deleted_manifests, freed
     )
+
+
+def _drop_aged_refs(table: IcehouseTable, cutoff_ms: int) -> list[str]:
+    """Drop tags and branches whose HEAD snapshot committed before
+    ``cutoff_ms`` (the max-ref-age-ms policy). Head-commit age is the
+    staleness signal: a branch nobody has committed to (and a tag pinning
+    an old snapshot) past the age stops pinning lineage, letting the
+    normal retention pass reclaim it. Each drop is its own CAS commit —
+    crash-safe halfway: the next sweep finishes the rest."""
+    by_id = {s.snapshot_id: s for s in
+             (Snapshot.from_json(j) for j in table.load_metadata()["snapshots"])}
+    dropped = []
+    for name, sid in table.refs().items():
+        snap = by_id.get(sid)
+        if snap is not None and snap.timestamp_ms < cutoff_ms:
+            table.drop_tag(name)
+            dropped.append(f"tag:{name}")
+    for name, head in table.branches().items():
+        snap = by_id.get(head)
+        if snap is not None and snap.timestamp_ms < cutoff_ms:
+            table.drop_branch(name)
+            dropped.append(f"branch:{name}")
+    return dropped
 
 
 def trim_metadata_log(table: IcehouseTable, keep_versions: int = 100) -> int:

@@ -235,6 +235,20 @@ class IcehouseTable:
     def properties(self) -> dict:
         return self.load_metadata().get("properties", {})
 
+    def set_properties(self, props: dict) -> "Snapshot":
+        """Set/override table properties in one CAS commit (Iceberg
+        ALTER TABLE SET TBLPROPERTIES). A ``None`` value tombstones the
+        key. Retention policies live here (see maintenance/expire.py:
+        history.expire.max-snapshot-age-ms / min-snapshots-to-keep /
+        max-ref-age-ms), as do sketch.cols and bucket/cluster specs via
+        their dedicated setters."""
+        if not props:
+            raise ValueError("set_properties: empty property map")
+        return self._commit(
+            "set-properties", [], set(), properties=dict(props),
+            extra_summary={"properties_set": ",".join(sorted(props))},
+        )
+
     def history(self) -> DataFrame:
         """The snapshot log as a DataFrame (id, parent, committed_at,
         operation, key summary counters) — the audit surface."""
@@ -1401,7 +1415,7 @@ class IcehouseTable:
     # can skip them
     _CONTENT_NEUTRAL_OPS = ("compact", "cluster-", "rewrite-manifests",
                             "rewrite-deletes", "set-ref", "set-spec",
-                            "set-schema")
+                            "set-schema", "set-properties")
 
     # ------------------------------------------------------------- refs
 

@@ -39,7 +39,12 @@ def main() -> None:
              "(<=0 disables); Iceberg rewrite_data_files delete-threshold "
              "analog",
     )
-    ap.add_argument("--keep-snapshots", type=int, default=2)
+    ap.add_argument(
+        "--keep-snapshots", type=int, default=2,
+        help="published snapshots to retain; <=0 defers to the table's "
+             "history.expire.* retention properties (min-snapshots-to-keep, "
+             "max-snapshot-age-ms, max-ref-age-ms)",
+    )
     ap.add_argument("--skip-compact", action="store_true")
     ap.add_argument("--skip-expire", action="store_true")
     ap.add_argument(
@@ -157,7 +162,11 @@ def main() -> None:
             "rows": tbl.row_count(tbl.branches().get(args.branch)),
         }
     if not args.skip_expire and not (args.branch and not args.publish):
-        res = expire_snapshots(tbl, keep_last=args.keep_snapshots)
+        res = expire_snapshots(
+            tbl,
+            keep_last=(args.keep_snapshots
+                       if args.keep_snapshots > 0 else None),
+        )
         metrics["expire"] = {
             "expired": len(res.expired_snapshots),
             "deleted_files": res.deleted_data_files,
