@@ -478,6 +478,38 @@ def m_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def m_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end (sql.py IcehouseSQL) drives the SCD1 merge the
+    reference expresses as spark.sql MERGE INTO (e.g.
+    reference/src/gold/table_notebooks/daily_sales_summary.py's pattern):
+    MERGE INTO ... USING <view> ON t.url = s.url WHEN MATCHED THEN UPDATE
+    SET * WHEN NOT MATCHED THEN INSERT *. The final scan must be
+    hash-identical to the Python-API merge (the latest-wins full-outer
+    oracle) — proving statement parsing compiles to the exact same
+    operation."""
+    from .operators.merge import dedup_latest
+    from .sql import IcehouseSQL
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "merge_base", 4)
+        )
+        dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        ).createOrReplaceTempView("m_sql_merge_delta")
+        IcehouseSQL(spark).sql(
+            f"MERGE INTO '{tbl.path}' AS t USING m_sql_merge_delta AS s "
+            f"ON t.url = s.url "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        return _pages_out(tbl.scan()).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def m_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC feed REPLAYED is the table: apply changes(0, cdc=True) of a
     create+merge history commit-by-commit (delete update_before rows, add
@@ -749,6 +781,7 @@ MAINTENANCE_REGISTRY: dict = {
     "m_branch_wap_publish": (m_branch_wap_publish, SQL_M_MERGE_SCD1),
     "m_sketch_merge": (m_sketch_merge, SQL_M_MERGE_SCD1),
     "m_cdc_replay": (m_cdc_replay, SQL_M_MERGE_SCD1),
+    "m_sql_merge": (m_sql_merge, SQL_M_MERGE_SCD1),
     "m_catalog_txn": (m_catalog_txn, SQL_M_CATALOG_TXN),
     "m_rename_merge_scan": (m_rename_merge_scan, SQL_M_MERGE_SCD1),
     "m_defaults_merge_scan": (m_defaults_merge_scan, SQL_M_DEFAULTS_MERGE),
