@@ -61,6 +61,47 @@ class MergeResult:
     files_rewritten: int
 
 
+# salt_buckets="auto" thresholds: salt only when the candidate files
+# average >= MIN_DUP copies per distinct key (linear-counting NDV from the
+# sketch bitmaps), sized to the duplication factor, capped — more buckets
+# than executor cores just multiplies the probe explode for nothing
+AUTO_SALT_MIN_DUP = 8
+AUTO_SALT_MAX = 64
+
+
+def _auto_salt(candidates, key: str) -> int | None:
+    """NDV-driven salt sizing for ``merge_into(salt_buckets="auto")``:
+    rows per distinct key across the candidate files (per-file
+    linear-counting estimates from the sketch.cols bitmaps — zero data
+    read) approximates the rewrite join's duplication; heavy duplication
+    means hot keys, so salt by the duplication factor. Returns None (no
+    salting, today's default behavior) when any candidate lacks a sketch
+    or duplication is modest."""
+    import math
+
+    from ..table.format import SKETCH_STAT_PREFIX, _sketch_or, sketch_ndv
+
+    if not candidates:
+        return None
+    stat = f"{SKETCH_STAT_PREFIX}{key}"
+    b64s, rows = [], 0
+    for f in candidates:
+        st = f.stats.get(stat)
+        if not st or "b64" not in st:
+            return None
+        b64s.append(st["b64"])
+        rows += f.row_count
+    # duplication = rows per distinct key across ALL candidates: the union
+    # bitmap (not per-file sums, which double-count keys shared by files)
+    union_ndv = sketch_ndv(_sketch_or(b64s))
+    if union_ndv is None:  # saturated union: no estimate, no salting
+        return None
+    dup = rows / max(1, union_ndv)
+    if dup < AUTO_SALT_MIN_DUP:
+        return None
+    return int(min(AUTO_SALT_MAX, 2 ** math.ceil(math.log2(dup))))
+
+
 def _candidate_files(table: IcehouseTable, source: DataFrame, key_cols: list[str]):
     """Prune target files whose key-range stats cannot overlap the source."""
     bounds = source.agg(
@@ -356,7 +397,7 @@ def merge_into(
     preserve_cols: tuple[str, ...] = (),
     insert_new: bool = True,
     delete_matched: bool = False,
-    salt_buckets: int | None = None,
+    salt_buckets: int | str | None = None,
     target_file_rows: int | None = None,
     merge_schema: bool = False,
     branch: str | None = None,
@@ -449,6 +490,10 @@ def merge_into(
         # key-sketch routing (opt-in sketch.cols): the layout-independent
         # cut — zero data read on any layout, superset-safe
         candidates = _sketch_candidates(candidates, src_keys, keys[0])
+    if salt_buckets == "auto":
+        # NDV-driven sizing from the sketch bitmaps — metadata only, no
+        # scan; resolves to None (unsalted) when candidates lack sketches
+        salt_buckets = _auto_salt(candidates, keys[0])
     if salt_buckets:
         # Deterministic salt spreads one hot key across buckets for the
         # discovery join; the probe side is exploded to all bucket values.
