@@ -21,7 +21,12 @@ from ecommerce_lakehouse_spark.table import IcehouseTable, Predicate, delete_whe
 
 
 def _multiset(df):
-    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+    # None-safe row sort: nulls first per column (schema evolution ranges
+    # legitimately emit None for pre-add rows)
+    return sorted(
+        (tuple(r) for r in df.select(*sorted(df.columns)).collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
 
 
 def _drain_cdc(spark, table_path, checkpoint, out_dir, **opts):
@@ -161,3 +166,42 @@ def test_batch_dsv2_cdc_rejects_file_pruning_predicates(spark, tmp_path):
             .load(tbl.path)
             .collect()
         )
+
+
+def test_dsv2_cdc_survives_schema_evolution(spark, tmp_path):
+    """The DSv2 cdc read (executor-side Arrow diff) must equal the
+    DataFrame feed across a rename + widen + default evolution mid-range:
+    the diff kernel resolves old physical names via per-file aliases,
+    fills initial defaults, and casts widened columns — same as the batch
+    engine."""
+    from pyspark.sql.types import LongType
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 120, seed=37, partitions=2),
+    )
+    tbl.add_column("fetch_status", "int")
+    tbl.append(
+        generate_pages(spark, 30, seed=38, partitions=1).withColumn(
+            "fetch_status", (F.crc32("url") % 500).cast("int")
+        )
+    )
+    tbl.rename_column("url", "page_url")
+    tbl.widen_column("fetch_status", "long")
+    tbl.add_column("crawl_tier", "string", default="cc-main")
+    delta = dedup_latest(
+        generate_recrawl_delta(spark, 120, 8, 20, seed=37, partitions=1),
+        ["url"], "warc_ts",
+    ).withColumnRenamed("url", "page_url").withColumn(
+        "fetch_status", (F.crc32("page_url") % 500).cast("int")
+    )
+    merge_into(tbl, delta, "page_url")
+    register(spark)
+    got = (
+        spark.read.format("icehouse").option("cdc", "true")
+        .option("key_cols", "page_url").option("cdc_buckets", "3")
+        .load(tbl.path)
+    )
+    assert isinstance(got.schema["fetch_status"].dataType, LongType)
+    want = tbl.changes(0, cdc=True, key_cols=["page_url"])
+    assert _multiset(got) == _multiset(want)
