@@ -1,5 +1,10 @@
 from .compact import CompactionBin, compact, plan_compaction  # noqa: F401
-from .expire import ExpireResult, expire_snapshots  # noqa: F401
+from .expire import (  # noqa: F401
+    ExpireResult,
+    OrphanSweepResult,
+    expire_snapshots,
+    remove_orphan_files,
+)
 from .ledger import JobLedger  # noqa: F401
 from .loop import MaintenanceLoop  # noqa: F401
 from .manifests import rewrite_manifests  # noqa: F401

@@ -243,6 +243,61 @@ def expire_snapshots(
     )
 
 
+@dataclass
+class OrphanSweepResult:
+    deleted_files: int
+    freed_bytes: int
+
+
+def remove_orphan_files(
+    table: IcehouseTable, older_than_ms: int | None = None
+) -> OrphanSweepResult:
+    """Standalone orphan sweep (Iceberg's ``remove_orphan_files``
+    procedure): delete data-dir files referenced by NO snapshot at all —
+    failed/abandoned writes — WITHOUT expiring any history. The live set
+    spans EVERY snapshot in the metadata (main chain, staged WAP commits,
+    branch lineage) plus delete-vector sidecars and the outputs of
+    unfinished ledger jobs, so nothing a reader or a resumable rewrite can
+    still reach is ever touched. ``older_than_ms`` is an absolute epoch
+    cutoff (files modified after it survive); it is clamped so the cutoff
+    is never closer to now than MIN_ORPHAN_GRACE_MS — a racing
+    stage-then-commit window cannot be swept out from under a writer."""
+    snaps = table.snapshots()
+    live: set[str] = set()
+    for s in snaps:
+        if s.delete_manifest:
+            full = table._read_delete_registry_full(s.delete_manifest)
+            live |= {
+                dv for e in full.get("entries", {}).values() for dv in e["dvs"]
+            }
+            live |= {e["path"] for e in full.get("eq", [])}
+        for rel in table.manifests_of(s):
+            for f in table._read_manifest(rel):
+                live.add(f.path)
+
+    cutoff = min(
+        older_than_ms if older_than_ms is not None else float("inf"),
+        time.time() * 1000 - MIN_ORPHAN_GRACE_MS,
+    )
+    deleted = 0
+    freed = 0
+    if os.path.isdir(table.data_dir):
+        protected = _ledger_protected_paths(table)
+        for name in os.listdir(table.data_dir):
+            rel = os.path.join("data", name)
+            if rel in live or rel in protected:
+                continue
+            p = os.path.join(table.data_dir, name)
+            try:
+                if os.path.getmtime(p) * 1000 < cutoff:
+                    freed += os.path.getsize(p)
+                    os.unlink(p)
+                    deleted += 1
+            except OSError:
+                pass
+    return OrphanSweepResult(deleted, freed)
+
+
 def _drop_aged_refs(table: IcehouseTable, cutoff_ms: int) -> list[str]:
     """Drop tags and branches whose HEAD snapshot committed before
     ``cutoff_ms`` (the max-ref-age-ms policy). Head-commit age is the

@@ -766,6 +766,83 @@ FROM base b FULL OUTER JOIN d ON b.url = d.url
 """
 
 
+def m_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the SQL front end: tag the pre-merge snapshot,
+    SQL-MERGE the delta in, then read BACK through
+    ``FOR VERSION AS OF '<tag>'`` (sql.py's FROM-item rewrite → a
+    snapshot-scoped scan). The result must hash-match the BASE fixture
+    alone — rows the merge changed must come back in their pre-merge
+    state, proving the rewrite pins the tagged snapshot's file list, not
+    current. Iceberg-parity for Spark's ``FOR VERSION AS OF`` clause."""
+    from .operators.merge import dedup_latest
+    from .sql import IcehouseSQL
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "merge_base", 4)
+        )
+        isql = IcehouseSQL(spark)
+        isql.sql(f"ALTER TABLE '{tbl.path}' CREATE TAG pre_merge")
+        dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        ).createOrReplaceTempView("m_sql_tt_delta")
+        isql.sql(
+            f"MERGE INTO '{tbl.path}' AS t USING m_sql_tt_delta AS s "
+            f"ON t.url = s.url WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        out = isql.sql(
+            f"SELECT url, unix_micros(CAST(warc_ts AS timestamp)) AS warc_ts_us, "
+            f"length(text) AS text_len, lang "
+            f"FROM '{tbl.path}' FOR VERSION AS OF 'pre_merge'"
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def m_sql_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident-response flow through SQL: merge a bad delta, then
+    ``CALL rollback_to_snapshot`` back to the pre-merge snapshot — the
+    scan must be hash-identical to the base fixture (the merge's rows are
+    gone from readers but stay in history). Twin of the Python
+    ``rollback_to`` tests, driven statement-first like Iceberg's
+    ``CALL catalog.system.rollback_to_snapshot``."""
+    from .operators.merge import dedup_latest, merge_into
+    from .sql import IcehouseSQL
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "merge_base", 4)
+        )
+        pre = tbl.current_snapshot().snapshot_id
+        merge_into(
+            tbl,
+            dedup_latest(
+                _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+            ),
+            "url",
+        )
+        IcehouseSQL(spark).sql(
+            f"CALL rollback_to_snapshot('{tbl.path}', {pre})"
+        )
+        return _pages_out(tbl.scan()).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# the pre-merge table IS the base fixture — time travel / rollback must
+# reproduce it byte-for-byte even though the merge rewrote those files
+SQL_M_BASE_ONLY = f"""
+SELECT {_PAGES_PROJ}
+FROM read_parquet('{fixture_path("merge_base")}')
+"""
+
+
 MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
@@ -782,6 +859,8 @@ MAINTENANCE_REGISTRY: dict = {
     "m_sketch_merge": (m_sketch_merge, SQL_M_MERGE_SCD1),
     "m_cdc_replay": (m_cdc_replay, SQL_M_MERGE_SCD1),
     "m_sql_merge": (m_sql_merge, SQL_M_MERGE_SCD1),
+    "m_sql_time_travel": (m_sql_time_travel, SQL_M_BASE_ONLY),
+    "m_sql_rollback": (m_sql_rollback, SQL_M_BASE_ONLY),
     "m_catalog_txn": (m_catalog_txn, SQL_M_CATALOG_TXN),
     "m_rename_merge_scan": (m_rename_merge_scan, SQL_M_MERGE_SCD1),
     "m_defaults_merge_scan": (m_defaults_merge_scan, SQL_M_DEFAULTS_MERGE),

@@ -25,10 +25,24 @@ Grammar (case-insensitive keywords; one statement per call):
         via keyed merge: requires PRIMARY KEY property or key= kwarg)
   ALTER TABLE <t> SET TBLPROPERTIES ('k' = 'v'[, ...])
   ALTER TABLE <t> UNSET TBLPROPERTIES ('k'[, ...])
+  ALTER TABLE <t> CREATE BRANCH|TAG <name> [AS OF VERSION <snapshot_id>]
+  ALTER TABLE <t> DROP BRANCH|TAG <name>
+  ALTER TABLE <t> RENAME COLUMN <a> TO <b>
+  ALTER TABLE <t> ADD COLUMN <name> <ddl-type> [DEFAULT <literal>]
+  ALTER TABLE <t> DROP COLUMN <name>
+  ALTER TABLE <t> ALTER COLUMN <name> TYPE <ddl-type>   (widening only)
   OPTIMIZE <t> [ZORDER BY (c1, c2[, extra...])]
   VACUUM <t> [RETAIN <n> HOURS]
   DESCRIBE HISTORY <t>
-  SELECT / WITH ...  → spark.sql passthrough
+  CALL <proc>(<t>[, arg | name => arg ...])   (Iceberg-style procedures:
+        expire_snapshots, remove_orphan_files, rollback_to_snapshot,
+        rollback_to_timestamp, cherry_pick_snapshot, fast_forward,
+        rewrite_manifests)
+  SELECT / WITH ...  → spark.sql passthrough; any FROM item may carry
+        time travel: <t> FOR VERSION AS OF <snapshot_id|'tag'|'branch'>
+        or <t> FOR TIMESTAMP AS OF TIMESTAMP '<iso>' — the clause is
+        resolved to a snapshot-scoped scan registered as a temp view and
+        substituted before Catalyst sees the statement
 
 Table references: a single-quoted path ``'/data/pages'`` or a bare name
 resolved through the attached :class:`~.table.catalog.Catalog`.
@@ -175,7 +189,7 @@ class IcehouseSQL:
         s = _squash(stmt)
         head = s.split(" ", 1)[0].upper()
         if head in ("SELECT", "WITH"):
-            return self.spark.sql(s)
+            return self.spark.sql(self._rewrite_time_travel(s))
         handler = {
             "MERGE": self._merge,
             "DELETE": self._delete,
@@ -184,10 +198,165 @@ class IcehouseSQL:
             "OPTIMIZE": self._optimize,
             "VACUUM": self._vacuum,
             "DESCRIBE": self._describe,
+            "CALL": self._call,
         }.get(head)
         if handler is None:
             raise IcehouseSQLError(f"unsupported statement: {head}")
         return handler(s)
+
+    # --------------------------------------------------------- time travel
+
+    _TIME_TRAVEL = re.compile(
+        r"(?P<ref>'[^']+'|[A-Za-z_][\w.]*)\s+FOR\s+"
+        r"(?:(?P<ver>VERSION|SYSTEM_VERSION)|(?P<ts>TIMESTAMP|SYSTEM_TIME))"
+        r"\s+AS\s+OF\s+"
+        r"(?P<val>TIMESTAMP\s*'[^']+'|'[^']+'|\d+)",
+        re.I,
+    )
+    _tt_views = 0
+
+    def _rewrite_time_travel(self, s: str) -> str:
+        """Substitute each ``<t> FOR VERSION|TIMESTAMP AS OF <x>`` FROM item
+        with a temp view over the snapshot-scoped scan. VERSION accepts a
+        snapshot id or a quoted tag/branch name; TIMESTAMP resolves through
+        :meth:`IcehouseTable.snapshot_as_of` (main-chain ancestors only, so
+        staged/branch commits stay invisible — reader-at-that-instant
+        semantics). Snapshot resolution happens NOW, at parse time: the
+        registered view pins the file list, so a concurrent commit between
+        parse and action cannot shift the result."""
+
+        def _sub(m: re.Match) -> str:
+            table = self._table(m.group("ref"))
+            val = m.group("val").strip()
+            if m.group("ts"):
+                lit = _parse_literal(val)
+                if isinstance(lit, str):
+                    lit = datetime.datetime.fromisoformat(lit)
+                if not isinstance(lit, datetime.datetime):
+                    raise IcehouseSQLError(
+                        f"TIMESTAMP AS OF needs a timestamp literal, got {val!r}"
+                    )
+                snap_id = table.snapshot_as_of(lit).snapshot_id
+            else:
+                snap_id = _parse_literal(val)  # int id or 'tag'/'branch' name
+                if not isinstance(snap_id, (int, str)):
+                    raise IcehouseSQLError(
+                        f"VERSION AS OF needs a snapshot id or a quoted "
+                        f"tag/branch name, got {val!r}"
+                    )
+            IcehouseSQL._tt_views += 1
+            view = f"__icehouse_tt_{IcehouseSQL._tt_views}"
+            table.scan(snapshot_id=snap_id).createOrReplaceTempView(view)
+            return view
+
+        return self._TIME_TRAVEL.sub(_sub, s)
+
+    # ---------------------------------------------------------------- CALL
+
+    _CALL = re.compile(r"^CALL (?P<proc>\w+)\s*\((?P<args>.*)\)$", re.I | re.S)
+    _CALL_ARG = re.compile(r"^(?:(?P<name>\w+)\s*=>\s*)?(?P<val>.+)$", re.S)
+
+    def _call(self, s: str):
+        """Iceberg-style maintenance procedures, compiled onto the engine's
+        tested primitives (Spark would route these to
+        ``catalog.system.<proc>``; here the dispatcher is the catalog)."""
+        m = self._CALL.match(s)
+        if not m:
+            raise IcehouseSQLError("CALL must be: CALL <proc>(<args>)")
+        proc = m.group("proc").lower()
+        pos: list[object] = []
+        named: dict[str, object] = {}
+        raw_args = self._split_args(m.group("args"))
+        if not raw_args:
+            raise IcehouseSQLError("CALL needs at least the table argument")
+        for i, tok in enumerate(raw_args):
+            am = self._CALL_ARG.match(tok.strip())
+            name, val = am.group("name"), am.group("val").strip()
+            if name:
+                named[name.lower()] = _parse_literal(val)
+            elif named:
+                raise IcehouseSQLError(
+                    f"positional arg {val!r} after named args"
+                )
+            elif i == 0:
+                pos.append(self._table(val))  # quoted path or catalog name
+            else:
+                pos.append(_parse_literal(val))
+        handler = getattr(self, f"_proc_{proc}", None)
+        if handler is None:
+            raise IcehouseSQLError(f"unknown procedure: {proc}")
+        try:
+            return DMLResult(f"call-{proc}", handler(*pos, **named))
+        except TypeError as e:
+            raise IcehouseSQLError(f"CALL {proc}: {e}") from None
+
+    @staticmethod
+    def _split_args(argstr: str) -> list[str]:
+        """Split on commas outside single quotes (args are flat literals)."""
+        out, buf, in_q = [], [], False
+        for ch in argstr:
+            if ch == "'":
+                in_q = not in_q
+            if ch == "," and not in_q:
+                out.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        tail = "".join(buf).strip()
+        if tail:
+            out.append(tail)
+        return [a for a in (x.strip() for x in out) if a]
+
+    @staticmethod
+    def _to_epoch_ms(v, what: str) -> int:
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            return int(v.timestamp() * 1000)
+        if isinstance(v, (int, float)):
+            return int(v)
+        raise IcehouseSQLError(
+            f"{what} needs TIMESTAMP '<iso>' or epoch millis, got {v!r}"
+        )
+
+    def _proc_expire_snapshots(self, table, older_than=None, retain_last=None):
+        from .maintenance import expire_snapshots
+
+        older_ms = (
+            self._to_epoch_ms(older_than, "older_than")
+            if older_than is not None else None
+        )
+        return expire_snapshots(
+            table, keep_last=retain_last, older_than_ms=older_ms
+        )
+
+    def _proc_remove_orphan_files(self, table, older_than=None):
+        from .maintenance import remove_orphan_files
+
+        older_ms = (
+            self._to_epoch_ms(older_than, "older_than")
+            if older_than is not None else None
+        )
+        return remove_orphan_files(table, older_than_ms=older_ms)
+
+    def _proc_rollback_to_snapshot(self, table, snapshot_id):
+        return table.rollback_to(snapshot_id)
+
+    def _proc_rollback_to_timestamp(self, table, ts):
+        snap = table.snapshot_as_of(ts)
+        return table.rollback_to(snap.snapshot_id)
+
+    def _proc_cherry_pick_snapshot(self, table, snapshot_id):
+        return table.cherry_pick(snapshot_id)
+
+    def _proc_fast_forward(self, table, branch):
+        return table.fast_forward(branch)
+
+    def _proc_rewrite_manifests(self, table, target_entries=None):
+        from .maintenance import rewrite_manifests
+
+        kw = {} if target_entries is None else {"target_entries": target_entries}
+        return rewrite_manifests(table, **kw)
 
     # --------------------------------------------------------------- MERGE
 
@@ -383,13 +552,36 @@ class IcehouseSQL:
         r"(?P<un>UNSET|SET) TBLPROPERTIES \((?P<props>.+)\)$",
         re.I,
     )
+    _ALTER_REF = re.compile(
+        r"^ALTER TABLE (?P<t>'[^']+'|[\w.]+) "
+        r"(?P<act>CREATE|DROP) (?P<kind>BRANCH|TAG) (?P<name>\w+)"
+        r"(?: AS OF VERSION (?P<v>\d+))?$",
+        re.I,
+    )
+    _ALTER_COL = re.compile(
+        r"^ALTER TABLE (?P<t>'[^']+'|[\w.]+) (?:"
+        r"RENAME COLUMN (?P<old>\w+) TO (?P<new>\w+)"
+        r"|ADD COLUMNS? (?P<add>\w+) (?P<type>[\w()<>, ]+?)"
+        r"(?: DEFAULT (?P<def>.+))?"
+        r"|DROP COLUMNS? (?P<drop>\w+)"
+        r"|ALTER COLUMN (?P<wide>\w+) TYPE (?P<wtype>[\w()<>, ]+)"
+        r")$",
+        re.I,
+    )
 
     def _alter(self, s: str):
+        m = self._ALTER_REF.match(s)
+        if m:
+            return self._alter_ref(m)
+        m = self._ALTER_COL.match(s)
+        if m:
+            return self._alter_col(m)
         m = self._ALTER.match(s)
         if not m:
             raise IcehouseSQLError(
-                "ALTER TABLE supports SET/UNSET TBLPROPERTIES only "
-                "(schema evolution: use the Python API — rename_column etc.)"
+                "ALTER TABLE supports SET/UNSET TBLPROPERTIES, CREATE/DROP "
+                "BRANCH/TAG [AS OF VERSION n], RENAME/ADD/DROP COLUMN and "
+                "ALTER COLUMN ... TYPE (widening)"
             )
         table = self._table(m.group("t"))
         if m.group("un").upper() == "UNSET":
@@ -401,6 +593,58 @@ class IcehouseSQL:
                 raise IcehouseSQLError("SET TBLPROPERTIES ('k' = 'v'[, ...])")
             snap = table.set_properties(dict(pairs))
         return DMLResult("alter-properties", snap)
+
+    def _alter_ref(self, m: re.Match):
+        """Branch/tag DDL → the ref primitives (each is one CAS set-ref
+        commit; see table/format.py create_branch/create_tag)."""
+        table = self._table(m.group("t"))
+        act = m.group("act").upper()
+        kind = m.group("kind").lower()
+        name = m.group("name")
+        if act == "DROP":
+            if m.group("v"):
+                raise IcehouseSQLError("DROP BRANCH/TAG takes no AS OF")
+            snap = (table.drop_branch if kind == "branch" else table.drop_tag)(name)
+            return DMLResult(f"alter-drop-{kind}", snap)
+        at = int(m.group("v")) if m.group("v") else None
+        snap = (
+            table.create_branch(name, snapshot_id=at)
+            if kind == "branch" else table.create_tag(name, snapshot_id=at)
+        )
+        return DMLResult(f"alter-create-{kind}", snap)
+
+    def _alter_col(self, m: re.Match):
+        """Column DDL → the name-mapping/metadata-only evolution primitives
+        (no data rewrite; see table/format.py schema-evolution section)."""
+        table = self._table(m.group("t"))
+        if m.group("old"):
+            return DMLResult(
+                "alter-rename-column",
+                table.rename_column(m.group("old"), m.group("new")),
+            )
+        if m.group("add"):
+            default = (
+                _parse_literal(m.group("def")) if m.group("def") else None
+            )
+            if isinstance(default, (datetime.datetime, datetime.date)):
+                # add_column stores JSON-able scalars; ISO strings cast to
+                # the column type at read time (format.py add_column)
+                default = default.isoformat(sep=" ") if isinstance(
+                    default, datetime.datetime) else default.isoformat()
+            return DMLResult(
+                "alter-add-column",
+                table.add_column(
+                    m.group("add"), m.group("type").strip(), default=default
+                ),
+            )
+        if m.group("drop"):
+            return DMLResult(
+                "alter-drop-column", table.drop_column(m.group("drop"))
+            )
+        return DMLResult(
+            "alter-widen-column",
+            table.widen_column(m.group("wide"), m.group("wtype").strip()),
+        )
 
     # ------------------------------------------------------- maintenance
 

@@ -1567,6 +1567,34 @@ class IcehouseTable:
             time.sleep(0.01 * (_attempt + 1))
         raise CommitConflict("rollback_to: lost commit race repeatedly")
 
+    def snapshot_as_of(self, ts) -> Snapshot:
+        """Resolve the snapshot current AS OF a wall-clock instant
+        (Iceberg/Delta ``TIMESTAMP AS OF``): the newest MAIN-CHAIN ancestor
+        whose commit timestamp is <= ``ts``. Walking the current chain (not
+        all snapshots) keeps staged WAP/branch commits invisible to time
+        travel, exactly like a reader at that instant. ``ts`` is a
+        ``datetime`` (naive = UTC) or epoch milliseconds."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts_ms = int(ts.timestamp() * 1000)
+        else:
+            ts_ms = int(ts)
+        by_id = {s.snapshot_id: s for s in self.snapshots()}
+        node = self.current_snapshot()
+        while node is not None:
+            if node.timestamp_ms <= ts_ms:
+                return node
+            node = (
+                by_id.get(node.parent_id)
+                if node.parent_id is not None else None
+            )
+        raise ValueError(
+            f"no snapshot at or before {ts_ms} (table created later?)"
+        )
+
     BUCKET_EVOLVED_PROP = "bucket.evolved"
 
     def set_bucket_spec(self, key: str, n: int) -> Snapshot:
