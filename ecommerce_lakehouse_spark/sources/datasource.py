@@ -23,7 +23,9 @@ Built on PySpark 4's Python Data Source API:
   zero per-row Python), reconciling pre-schema-evolution files by
   null-filling missing columns.
 
-Options: path (required), snapshot_id (optional time travel), tag
+Options: path (required), snapshot_id (optional time travel),
+as_of_timestamp (optional wall-clock time travel: ISO string or epoch
+millis, resolved via IcehouseTable.snapshot_as_of — main-chain only), tag
 (optional named ref — see IcehouseTable.create_tag), branch (optional
 mutable ref — reads the branch head; on write, commits advance the branch
 pointer instead of main — see IcehouseTable.create_branch),
@@ -342,6 +344,17 @@ class IcehouseReader(DataSourceReader):
         # the O(new data) consumption surface (IcehouseTable.changes);
         # combine with snapshot_id/tag to pin `to`
         low = {k.lower(): v for k, v in options.items()}
+        # as_of_timestamp: wall-clock time travel (Iceberg's
+        # as-of-timestamp read option) — ISO string or epoch millis,
+        # resolved at PLAN time through IcehouseTable.snapshot_as_of
+        # (main-chain ancestors only, so staged/branch commits stay
+        # invisible). Mutually exclusive with the ref-based options.
+        self._as_of_ts = low.get("as_of_timestamp") or None
+        if self._as_of_ts and self._snapshot_id is not None:
+            raise ValueError(
+                "icehouse: as_of_timestamp conflicts with "
+                "snapshot_id/tag/branch — pick one addressing mode"
+            )
         self._incremental_from = (
             int(low["incremental_from"])
             if low.get("incremental_from") is not None else None
@@ -402,7 +415,16 @@ class IcehouseReader(DataSourceReader):
 
         spark = SparkSession.getActiveSession()
         table = IcehouseTable(spark, self._path)
-        snap = table._resolve_snapshot(self._snapshot_id)
+        snapshot_id = self._snapshot_id
+        if self._as_of_ts:
+            import datetime as _dt
+
+            try:
+                ts = int(self._as_of_ts)
+            except ValueError:
+                ts = _dt.datetime.fromisoformat(self._as_of_ts)
+            snapshot_id = table.snapshot_as_of(ts).snapshot_id
+        snap = table._resolve_snapshot(snapshot_id)
         if self._cdc["cdc"]:
             if self._option_predicates:
                 raise ValueError(
@@ -424,7 +446,7 @@ class IcehouseReader(DataSourceReader):
             from ..table.predicates import prune_files
 
             inc_files, snap = table.incremental_files(
-                self._incremental_from, self._snapshot_id
+                self._incremental_from, snapshot_id
             )
             files = prune_files(
                 inc_files, table._stats_predicates(predicates or None),
@@ -432,7 +454,7 @@ class IcehouseReader(DataSourceReader):
             )
         else:
             files = table.planned_files(
-                predicates or None, snapshot_id=self._snapshot_id
+                predicates or None, snapshot_id=snapshot_id
             )
         parts = _file_partitions(table, files, snap)
         # stats can legitimately prune EVERY file; Spark then invokes read()

@@ -70,6 +70,45 @@ def test_snapshot_option_time_travel(spark, tmp_path):
     assert spark.read.format("icehouse").load(tbl.path).count() == 150
 
 
+def test_as_of_timestamp_option_time_travel(spark, tmp_path):
+    import time
+
+    import pytest
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 100, seed=96, partitions=2),
+    )
+    time.sleep(0.05)
+    mid = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    time.sleep(0.05)
+    # a staged (WAP) append after `mid` must stay invisible: as-of walks
+    # the main chain only
+    tbl.append(generate_pages(spark, 25, seed=95, partitions=1), publish=False)
+    tbl.append(generate_pages(spark, 50, seed=97, partitions=1))
+    register(spark)
+    old = (
+        spark.read.format("icehouse")
+        .option("as_of_timestamp", mid.isoformat(sep=" ")).load(tbl.path)
+    )
+    assert old.count() == 100
+    # epoch-millis form addresses the same snapshot
+    ms = int(mid.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    old_ms = (
+        spark.read.format("icehouse")
+        .option("as_of_timestamp", str(ms)).load(tbl.path)
+    )
+    assert old_ms.count() == 100
+    with pytest.raises(Exception, match="conflicts"):
+        (
+            spark.read.format("icehouse")
+            .option("as_of_timestamp", str(ms))
+            .option("snapshot_id", tbl.current_snapshot().snapshot_id)
+            .load(tbl.path)
+            .count()
+        )
+
+
 def test_datasource_reads_across_schema_evolution(spark, tmp_path):
     tbl = IcehouseTable.create(
         spark, str(tmp_path / "t"),
