@@ -401,12 +401,20 @@ def merge_into(
     target_file_rows: int | None = None,
     merge_schema: bool = False,
     branch: str | None = None,
+    collect_metrics: bool = True,
 ) -> MergeResult:
     """Copy-on-write MERGE of ``source`` into ``table`` on key equality.
 
     update_cols=None → SCD1/fact semantics (update ALL source columns except
     ``preserve_cols``); a column list → partial-update semantics (M4);
     delete_matched=True → MERGE ... WHEN MATCHED DELETE.
+
+    collect_metrics=False skips the Observation-based row counters (the
+    snapshot summary records -1 and MergeResult counts are -1): required
+    when the merge runs INSIDE a Structured Streaming ``foreachBatch``
+    callback, where ``Observation.get`` can deadlock the micro-batch
+    (the stream execution thread dies before delivering the metrics
+    event — see streaming/cdc_apply.py, which sets this).
 
     Source must be key-unique (pre-dedup with :func:`dedup_latest`), and
     NULL merge keys are rejected: the discovery semi-join and insert
@@ -593,17 +601,19 @@ def merge_into(
     # no persist of the wide join and no second pass over it.
     from pyspark.sql import Observation
 
-    obs = Observation("merge_metrics")
-    joined = joined.observe(
-        obs,
-        F.sum(F.when(matched, 1).otherwise(0)).alias("n_upd"),
-        F.sum(
-            F.when(F.col("__s").isNotNull() & F.col("__t").isNull(), 1).otherwise(0)
-        ).alias("n_ins"),
-        F.sum(
-            F.when(F.col("__t").isNotNull() & F.col("__s").isNull(), 1).otherwise(0)
-        ).alias("n_pass"),
-    )
+    obs = None
+    if collect_metrics:
+        obs = Observation("merge_metrics")
+        joined = joined.observe(
+            obs,
+            F.sum(F.when(matched, 1).otherwise(0)).alias("n_upd"),
+            F.sum(
+                F.when(F.col("__s").isNotNull() & F.col("__t").isNull(), 1).otherwise(0)
+            ).alias("n_ins"),
+            F.sum(
+                F.when(F.col("__t").isNotNull() & F.col("__s").isNull(), 1).otherwise(0)
+            ).alias("n_pass"),
+        )
 
     obs_ins = None
     if delete_matched:
@@ -619,8 +629,9 @@ def merge_into(
             F.broadcast(src_keys), keys, "left_semi"
         ).distinct()
         inserts = source.join(F.broadcast(matched_keys), keys, "left_anti").select(*tcols)
-        obs_ins = Observation("merge_inserts")
-        inserts = inserts.observe(obs_ins, F.count(F.lit(1)).alias("n_ins"))
+        if collect_metrics:
+            obs_ins = Observation("merge_inserts")
+            inserts = inserts.observe(obs_ins, F.count(F.lit(1)).alias("n_ins"))
         result = joined.select(*out_cols).unionByName(inserts)
     else:
         result = joined.select(*out_cols)
@@ -638,12 +649,15 @@ def merge_into(
         result, None, snapshot_id=table.current_version() + 1,
         target_partitions=parts,
     )
-    got = obs.get
-    n_upd, n_ins, n_pass = got["n_upd"] or 0, got["n_ins"] or 0, got["n_pass"] or 0
-    if obs_ins is not None:
-        n_ins = obs_ins.get["n_ins"] or 0
-    if not insert_new or delete_matched:
-        n_ins = 0
+    if obs is not None:
+        got = obs.get
+        n_upd, n_ins, n_pass = got["n_upd"] or 0, got["n_ins"] or 0, got["n_pass"] or 0
+        if obs_ins is not None:
+            n_ins = obs_ins.get["n_ins"] or 0
+        if not insert_new or delete_matched:
+            n_ins = 0
+    else:
+        n_upd = n_ins = n_pass = -1  # metrics skipped (foreachBatch-safe)
 
     snap = table.replace_files(
         [f.path for f in affected_files],

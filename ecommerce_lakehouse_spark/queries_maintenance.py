@@ -835,6 +835,36 @@ def m_sql_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def m_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A downstream replica maintained ONLY from the CDC feed
+    (streaming/cdc_apply.py mirror_table: collapse the feed to its net
+    effect, merge-apply) must scan hash-identical to the source after a
+    create+merge history — the replication contract on top of
+    ``changes(cdc=True)``. Same oracle as the direct merge: the mirror
+    IS the post-merge state, arrived at incrementally."""
+    from .operators.merge import dedup_latest, merge_into
+    from .streaming.cdc_apply import mirror_table
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/src", _read_fixture(spark, "merge_base", 4)
+        )
+        merge_into(
+            tbl,
+            dedup_latest(
+                _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+            ),
+            "url",
+        )
+        mirror_table(spark, f"{d}/src", f"{d}/dst", key_cols="url")
+        replica = IcehouseTable(spark, f"{d}/dst")
+        return _pages_out(replica.scan()).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # the pre-merge table IS the base fixture — time travel / rollback must
 # reproduce it byte-for-byte even though the merge rewrote those files
 SQL_M_BASE_ONLY = f"""
@@ -858,6 +888,7 @@ MAINTENANCE_REGISTRY: dict = {
     "m_branch_wap_publish": (m_branch_wap_publish, SQL_M_MERGE_SCD1),
     "m_sketch_merge": (m_sketch_merge, SQL_M_MERGE_SCD1),
     "m_cdc_replay": (m_cdc_replay, SQL_M_MERGE_SCD1),
+    "m_cdc_mirror": (m_cdc_mirror, SQL_M_MERGE_SCD1),
     "m_sql_merge": (m_sql_merge, SQL_M_MERGE_SCD1),
     "m_sql_time_travel": (m_sql_time_travel, SQL_M_BASE_ONLY),
     "m_sql_rollback": (m_sql_rollback, SQL_M_BASE_ONLY),

@@ -2220,7 +2220,25 @@ class IcehouseTable:
         cur: Snapshot | None = to_snap
         while cur is not None and cur.snapshot_id != from_snapshot_id:
             in_range.append(cur)
-            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+            if cur.parent_id is None:
+                cur = None  # reached the creation snapshot: chain complete
+                break
+            parent = by_id.get(cur.parent_id)
+            if parent is None:
+                # the parent was EXPIRED: the range below this point cannot
+                # be reconstructed. Silently returning the partial range
+                # would make a from==0 feed look complete while missing
+                # every expired commit (a CDC mirror would silently lose
+                # rows — caught live by the packaged mirror drive).
+                raise ValueError(
+                    f"changes(): history before snapshot {cur.snapshot_id} "
+                    f"is expired — the range ({from_snapshot_id}, "
+                    f"{to_snap.snapshot_id}] cannot be reconstructed. "
+                    f"Bootstrap from a full scan (mirror_table does this "
+                    f"automatically) or pass from_snapshot_id="
+                    f"{cur.snapshot_id} or newer."
+                )
+            cur = parent
         if cur is None and from_snapshot_id != 0:
             raise ValueError(
                 f"changes(): snapshot {from_snapshot_id} is not an ancestor "
