@@ -146,6 +146,20 @@ def main() -> None:
         maint["cdc_feed_rows"] = cdc_rows
         maint["cdc_rows_per_sec"] = round(cdc_rows / cdc_sec, 1)
 
+        # CDC mirror (round 5): replicate the whole history into a fresh
+        # downstream table purely from the change feed — collapse + two
+        # keyed merges; throughput is change-rows applied per second
+        t0 = time.time()
+        from ecommerce_lakehouse_spark.streaming.cdc_apply import mirror_table
+
+        mstats = mirror_table(spark, f"{work}/pages", f"{work}/mirror", key_cols="url")
+        mirror_sec = time.time() - t0
+        maint["mirror_sec"] = round(mirror_sec, 3)
+        maint["mirror_upserts"] = mstats["upserts"]
+        maint["mirror_rows_per_sec"] = round(
+            (mstats["upserts"] or 0) / mirror_sec, 1
+        )
+
         # compact small files
         t0 = time.time()
         compact(tbl, target_file_bytes=64 * 1024 * 1024, max_concurrency=CPUS)
