@@ -34,6 +34,8 @@ Grammar (case-insensitive keywords; one statement per call):
   OPTIMIZE <t> [ZORDER BY (c1, c2[, extra...])]
   VACUUM <t> [RETAIN <n> HOURS]
   DESCRIBE HISTORY <t>
+  INSERT INTO <t> SELECT ...            (atomic append of the query result)
+  CREATE TABLE <t> AS SELECT ...        (CTAS — schema from the query)
   CALL <proc>(<t>[, arg | name => arg ...])   (Iceberg-style procedures:
         expire_snapshots, remove_orphan_files, rollback_to_snapshot,
         rollback_to_timestamp, cherry_pick_snapshot, fast_forward,
@@ -199,6 +201,8 @@ class IcehouseSQL:
             "VACUUM": self._vacuum,
             "DESCRIBE": self._describe,
             "CALL": self._call,
+            "INSERT": self._insert,
+            "CREATE": self._create,
         }.get(head)
         if handler is None:
             raise IcehouseSQLError(f"unsupported statement: {head}")
@@ -357,6 +361,55 @@ class IcehouseSQL:
 
         kw = {} if target_entries is None else {"target_entries": target_entries}
         return rewrite_manifests(table, **kw)
+
+    # ------------------------------------------------------- INSERT / CTAS
+
+    _INSERT = re.compile(
+        r"^INSERT INTO (?P<t>'[^']+'|[\w.]+) (?P<q>(?:SELECT|WITH|TABLE) .+)$",
+        re.I,
+    )
+    _CTAS = re.compile(
+        r"^CREATE TABLE (?P<t>'[^']+'|[\w.]+) AS (?P<q>(?:SELECT|WITH) .+)$",
+        re.I,
+    )
+
+    def _insert(self, s: str):
+        """INSERT INTO <t> SELECT ... — one atomic append snapshot. The
+        SELECT runs through the same passthrough as standalone queries, so
+        time-travel FROM items work here too (e.g. re-inserting rows from
+        an old snapshot)."""
+        m = self._INSERT.match(s)
+        if not m:
+            raise IcehouseSQLError(
+                "INSERT must be: INSERT INTO <t> SELECT ... "
+                "(no VALUES lists — inserts are set-oriented here)"
+            )
+        table = self._table(m.group("t"))
+        df = self.spark.sql(self._rewrite_time_travel(m.group("q")))
+        return DMLResult("insert", table.append(df))
+
+    def _create(self, s: str):
+        """CREATE TABLE <t> AS SELECT ... (CTAS): materialize the query as
+        a brand-new Icehouse table at the path (or catalog name)."""
+        m = self._CTAS.match(s)
+        if not m:
+            raise IcehouseSQLError(
+                "CREATE supports: CREATE TABLE <t> AS SELECT ... "
+                "(schemas come from the query; column DDL lives in "
+                "ALTER TABLE)"
+            )
+        df = self.spark.sql(self._rewrite_time_travel(m.group("q")))
+        ref = m.group("t").strip()
+        if ref.startswith("'") and ref.endswith("'"):
+            tbl = IcehouseTable.create(self.spark, ref[1:-1], df)
+        elif self.catalog is not None:
+            tbl = self.catalog.create_table(ref, df)
+        else:
+            raise IcehouseSQLError(
+                f"CREATE TABLE {ref!r}: use a quoted path, or attach a "
+                f"Catalog for name resolution"
+            )
+        return DMLResult("create-table-as", tbl)
 
     # --------------------------------------------------------------- MERGE
 

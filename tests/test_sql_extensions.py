@@ -284,6 +284,48 @@ def test_alter_widen_column_type(spark, sqlx):
         isql.sql(f"ALTER TABLE '{tbl.path}' ALTER COLUMN hits TYPE int")
 
 
+def test_insert_into_select_appends_atomically(spark, sqlx):
+    from pyspark.sql import functions as F
+
+    tbl, isql = sqlx
+    generate_pages(spark, 30, seed=84, partitions=1).withColumn(
+        "url", F.concat(F.lit("i://"), "url")
+    ).createOrReplaceTempView("ins_src")
+    n_snaps = len(tbl.snapshots())
+    res = isql.sql(f"INSERT INTO '{tbl.path}' SELECT * FROM ins_src")
+    assert res.statement == "insert"
+    assert tbl.scan().count() == 150
+    assert len(tbl.snapshots()) == n_snaps + 1  # ONE append commit
+    with pytest.raises(IcehouseSQLError, match="VALUES"):
+        isql.sql(f"INSERT INTO '{tbl.path}' VALUES (1, 2)")
+
+
+def test_insert_from_time_travel_restores_rows(spark, sqlx, tmp_path):
+    """INSERT's SELECT goes through the time-travel rewrite: copy an old
+    snapshot's rows into another table (the selective-restore flow)."""
+    tbl, isql = sqlx
+    s1 = tbl.current_snapshot()
+    _grow(spark, tbl)
+    dst = str(tmp_path / "restored")
+    isql.sql(
+        f"CREATE TABLE '{dst}' AS SELECT * FROM '{tbl.path}' "
+        f"FOR VERSION AS OF {s1.snapshot_id}"
+    )
+    assert IcehouseTable(spark, dst).scan().count() == 120
+
+
+def test_ctas_path_and_bad_grammar(spark, sqlx, tmp_path):
+    tbl, isql = sqlx
+    dst = str(tmp_path / "ctas")
+    res = isql.sql(
+        f"CREATE TABLE '{dst}' AS SELECT 'a' AS k, 1 AS v"
+    )
+    assert res.statement == "create-table-as"
+    assert IcehouseTable(spark, dst).scan().count() == 1
+    with pytest.raises(IcehouseSQLError):
+        isql.sql("CREATE TABLE '/x' (k string)")  # column DDL unsupported
+
+
 def test_alter_out_of_grammar_still_raises(spark, sqlx):
     tbl, isql = sqlx
     with pytest.raises(IcehouseSQLError):
