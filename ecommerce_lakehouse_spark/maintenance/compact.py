@@ -70,9 +70,14 @@ def plan_compaction(
     GENERATIONS after set_bucket_spec (bucket 3 of n=8 and bucket 3 of
     n=16 hold different key sets): mixing either in one output file would
     erase its bucket tag and cost MERGE discovery its zero-read routing
-    forever after. Untagged legacy files form their own group and may
-    still be packed together."""
+    forever after. Likewise partition-transform tuples (day(warc_ts)=…):
+    packing two days into one file would widen its min/max back out and
+    cost the scan its exact pruning. Untagged legacy files form their own
+    group and may still be packed together (their outputs stay untagged —
+    a MERGE or Z-order rewrite, which stages through the partition-aware
+    writer, is what migrates them to the current spec)."""
     from ..table.format import bucket_spec_of_file
+    from ..table.partitioning import partition_tuple_of_file
 
     snap = snapshot or table.current_snapshot()
     reg = table.delete_registry(snap) if delete_ratio is not None else {}
@@ -94,10 +99,11 @@ def plan_compaction(
     small = sorted(candidates, key=lambda f: f.size_bytes, reverse=True)
     groups: dict = {}
     for f in small:
-        groups.setdefault(bucket_spec_of_file(f), []).append(f)
+        key = (bucket_spec_of_file(f), partition_tuple_of_file(f))
+        groups.setdefault(key, []).append(f)
     all_bins: list[list[DataFile]] = []
     for _bucket, gfiles in sorted(
-        groups.items(), key=lambda kv: (kv[0][0] is None, str(kv[0]))
+        groups.items(), key=lambda kv: (kv[0][0][0] is None, str(kv[0]))
     ):
         bins: list[list[DataFile]] = []
         loads: list[int] = []
@@ -162,6 +168,17 @@ def _rewrite_bin(
     bin_specs = {bucket_spec_of_file(f) for f in b.files}
     spec = bin_specs.pop() if len(bin_specs) == 1 else (None, None, None)
     tag = spec[0]
+    # partition-transform tags pass through the same way: the planner
+    # never mixes tuples in a bin, so the inputs' __pt: entries are valid
+    # for the outputs verbatim (zero re-derivation cost)
+    from ..table.partitioning import PT_STAT_PREFIX, partition_tuple_of_file
+
+    bin_pts = {partition_tuple_of_file(f) for f in b.files}
+    pt_entries = (
+        {k: v for k, v in b.files[0].stats.items()
+         if k.startswith(PT_STAT_PREFIX)}
+        if len(bin_pts) == 1 and bin_pts != {None} else {}
+    )
     # outputs carry the upcoming commit's lineage: added_by orders them
     # AFTER any equality delete they were read through (sequence semantics);
     # the commit's eq-registry validation aborts if newer deletes raced in
@@ -174,6 +191,8 @@ def _rewrite_bin(
             if spec[2] is not None:
                 entry.update({"k": spec[1], "n": spec[2]})
             st = {**st, BUCKET_STAT: entry}
+        if pt_entries:
+            st = {**st, **pt_entries}
         out.append(
             DataFile(
                 os.path.relpath(c["path"], table.path),

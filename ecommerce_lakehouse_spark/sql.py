@@ -31,6 +31,8 @@ Grammar (case-insensitive keywords; one statement per call):
   ALTER TABLE <t> ADD COLUMN <name> <ddl-type> [DEFAULT <literal>]
   ALTER TABLE <t> DROP COLUMN <name>
   ALTER TABLE <t> ALTER COLUMN <name> TYPE <ddl-type>   (widening only)
+  ALTER TABLE <t> SET PARTITION SPEC (day(warc_ts), truncate(url, 16))
+        (partition-transform evolution; metadata-only — empty parens clear)
   OPTIMIZE <t> [ZORDER BY (c1, c2[, extra...])]
   VACUUM <t> [RETAIN <n> HOURS]
   DESCRIBE HISTORY <t>
@@ -611,6 +613,11 @@ class IcehouseSQL:
         r"(?: AS OF VERSION (?P<v>\d+))?$",
         re.I,
     )
+    _ALTER_PTSPEC = re.compile(
+        r"^ALTER TABLE (?P<t>'[^']+'|[\w.]+) "
+        r"SET PARTITION SPEC \((?P<spec>.*)\)$",
+        re.I,
+    )
     _ALTER_COL = re.compile(
         r"^ALTER TABLE (?P<t>'[^']+'|[\w.]+) (?:"
         r"RENAME COLUMN (?P<old>\w+) TO (?P<new>\w+)"
@@ -629,12 +636,35 @@ class IcehouseSQL:
         m = self._ALTER_COL.match(s)
         if m:
             return self._alter_col(m)
+        m = self._ALTER_PTSPEC.match(s)
+        if m:
+            # Iceberg's spec-evolution DDL: metadata-only commit, existing
+            # files keep their write-time tags (format.py
+            # set_partition_spec). Empty parens clear the spec.
+            table = self._table(m.group("t"))
+            # split top-level commas only: truncate(url,16) keeps its own
+            parts, depth, buf = [], 0, []
+            for ch in m.group("spec"):
+                depth += ch == "("
+                depth -= ch == ")"
+                if ch == "," and depth == 0:
+                    parts.append("".join(buf))
+                    buf = []
+                else:
+                    buf.append(ch)
+            parts.append("".join(buf))
+            return DMLResult(
+                "alter-partition-spec",
+                table.set_partition_spec(
+                    [p for p in (x.strip() for x in parts) if p]
+                ),
+            )
         m = self._ALTER.match(s)
         if not m:
             raise IcehouseSQLError(
                 "ALTER TABLE supports SET/UNSET TBLPROPERTIES, CREATE/DROP "
-                "BRANCH/TAG [AS OF VERSION n], RENAME/ADD/DROP COLUMN and "
-                "ALTER COLUMN ... TYPE (widening)"
+                "BRANCH/TAG [AS OF VERSION n], SET PARTITION SPEC (...), "
+                "RENAME/ADD/DROP COLUMN and ALTER COLUMN ... TYPE (widening)"
             )
         table = self._table(m.group("t"))
         if m.group("un").upper() == "UNSET":

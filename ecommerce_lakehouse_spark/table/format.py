@@ -42,6 +42,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from . import stats as stats_mod
+from . import partitioning as ptn
+from .partitioning import (
+    PARTITION_SPEC_ID_PROP,
+    PARTITION_SPEC_PROP,
+    PT_STAT_PREFIX,
+    partition_tuple_of_file,
+)
 from .predicates import Predicate, prune_files
 
 
@@ -307,8 +314,8 @@ class IcehouseTable:
 
     _FILES_SCHEMA = (
         "path string, row_count long, size_bytes long, added_by long, "
-        "bucket int, delete_rows long, ndv map<string,bigint>, "
-        "stats_json string"
+        "bucket int, partition map<string,string>, delete_rows long, "
+        "ndv map<string,bigint>, stats_json string"
     )
 
     @staticmethod
@@ -372,6 +379,7 @@ class IcehouseTable:
                     f.size_bytes,
                     f.added_by,
                     bucket_of_file(f),
+                    dict(partition_tuple_of_file(f) or ()) or None,
                     int(reg.get(f.path, {}).get("rows", 0)),
                     self._file_ndv(f),
                     json.dumps(f.stats, sort_keys=True, default=str),
@@ -397,16 +405,22 @@ class IcehouseTable:
         )
 
     def partitions(self, snapshot_id: int | str | None = None) -> DataFrame:
-        """Per-bucket layout rollup (Iceberg's ``partitions`` table for the
-        hash-bucket spec): live rows per bucket = file rows minus registered
-        positional deletes. ``bucket`` is NULL for files written before
-        bucketing (or cross-bucket rewrites) — a non-empty NULL group tells
-        the operator which files can't be bucket-routed by MERGE."""
+        """Per-partition layout rollup (Iceberg's ``partitions`` table):
+        one row per (partition-transform tuple, bucket) with live file/row/
+        byte totals. ``bucket`` is NULL for files written before bucketing
+        (or cross-bucket rewrites); ``partition`` is NULL for files written
+        under no transform spec — a non-empty NULL group tells the operator
+        which files can't be bucket-routed by MERGE / don't carry tags."""
         from pyspark.sql import functions as F
 
         return (
             self.files(snapshot_id)
-            .groupBy("bucket")
+            # maps aren't groupable; canonical form = label-sorted entries
+            .groupBy(
+                F.to_json(F.sort_array(F.map_entries("partition")))
+                .alias("partition"),
+                "bucket",
+            )
             .agg(
                 F.count("*").alias("n_files"),
                 F.sum("row_count").alias("n_rows"),
@@ -751,6 +765,23 @@ class IcehouseTable:
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         spec = self._spec_from_props(bucket_props) if bucket_props else self.bucket_spec()
         bucketed = spec is not None and spec[0] in df.columns
+        props_src = bucket_props if bucket_props is not None else (
+            self.properties() if self.exists() else {}
+        )
+        # partition transforms (identity/day/truncate/…): transient
+        # string-valued JVM columns, one per transform; files split on
+        # them via partitionBy below and each file's tuple is recorded in
+        # its manifest stats (partitioning.py module docstring)
+        ptspec = ptn.bind_numeric_hints(
+            [t for t in ptn.parse_spec(props_src) if t.col in df.columns],
+            df.schema,
+        )
+        pt_spec_id = ptn.spec_id(props_src)
+        pt_cols: list[str] = []
+        for i, t in enumerate(ptspec):
+            cname = f"__pt_{i}"
+            df = df.withColumn(cname, t.expr())
+            pt_cols.append(cname)
         drop_cols = list(cluster_by or [])
         if bucketed:
             key, n = spec
@@ -758,26 +789,33 @@ class IcehouseTable:
             n_parts = target_partitions or n
             if cluster_by:
                 df = df.repartitionByRange(
-                    max(n_parts, 1), BUCKET_STAT, *cluster_by
-                ).sortWithinPartitions(BUCKET_STAT, *cluster_by)
+                    max(n_parts, 1), *pt_cols, BUCKET_STAT, *cluster_by
+                ).sortWithinPartitions(*pt_cols, BUCKET_STAT, *cluster_by)
             else:
                 # hash repartition, NOT range: range partitioning samples its
                 # input, executing the upstream plan twice — which doubles
                 # any Observation metrics riding the write (merge) and the
                 # compute itself. partitionBy still splits files per bucket.
-                df = df.repartition(max(n_parts, 1), BUCKET_STAT)
+                df = df.repartition(max(n_parts, 1), *pt_cols, BUCKET_STAT)
         elif cluster_by:
             df = df.repartitionByRange(
-                max(target_partitions or 1, 1), *cluster_by
-            ).sortWithinPartitions(*cluster_by)
+                max(target_partitions or 1, 1), *pt_cols, *cluster_by
+            ).sortWithinPartitions(*pt_cols, *cluster_by)
+        elif pt_cols:
+            # Iceberg's hash write-distribution: co-locate each partition
+            # value so file count tracks DISTINCT VALUES, not tasks×values.
+            # Caveat (documented Iceberg trade-off too): one giant value
+            # hashes to one task — callers with a known-skewed delta pass
+            # cluster_by/target_partitions to spread it.
+            df = df.repartition(*(target_partitions,) if target_partitions else (), *pt_cols)
         elif target_partitions is not None:
             df = df.repartition(target_partitions)
         if drop_cols:
             df = df.drop(*drop_cols)
 
         writer = df.write.mode("overwrite")
-        if bucketed:
-            writer = writer.partitionBy(BUCKET_STAT)
+        if bucketed or pt_cols:
+            writer = writer.partitionBy(*pt_cols, *((BUCKET_STAT,) if bucketed else ()))
         # opt-in parquet bloom filters (table property "bloom.cols":
         # comma-separated columns): the JVM parquet writer embeds per-row-
         # group blooms, and any pushed equality predicate on those columns
@@ -799,14 +837,24 @@ class IcehouseTable:
                 writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         writer.parquet(staging)
 
-        moved: list[tuple[str, int | None]] = []
+        moved: list[tuple[str, int | None, dict]] = []
         for root, dirs, names in os.walk(staging):
             dirs.sort()
             bucket_id: int | None = None
-            base = os.path.basename(root)
-            if base.startswith(f"{BUCKET_STAT}="):
-                val = base.split("=", 1)[1]
-                bucket_id = None if val == _HIVE_NULL else int(val)
+            ptvals: dict[str, str | None] = {}
+            rel = os.path.relpath(root, staging)
+            for comp in (rel.split(os.sep) if rel != "." else []):
+                if "=" not in comp:
+                    continue
+                k, v = comp.split("=", 1)
+                if k == BUCKET_STAT:
+                    bucket_id = None if v == _HIVE_NULL else int(v)
+                elif k.startswith("__pt_"):
+                    # invert Hive's dir-name escaping so the recorded tag
+                    # is the TRANSFORM VALUE (urls carry '/', ':', …)
+                    ptvals[ptspec[int(k[5:])].label] = (
+                        None if v == _HIVE_NULL else ptn.hive_unescape(v)
+                    )
             for name in sorted(names):
                 if not name.endswith(".parquet"):
                     continue
@@ -815,15 +863,18 @@ class IcehouseTable:
                     f"{snapshot_id:08d}-{uuid.uuid4().hex[:12]}-{name}",
                 )
                 os.rename(os.path.join(root, name), final)
-                moved.append((final, bucket_id))
+                moved.append((final, bucket_id, ptvals))
         shutil.rmtree(staging, ignore_errors=True)
         if stats_cols is None:
             stats_cols = self._default_stats_cols(df.schema)
-        bucket_by_path = dict(moved)
+        bucket_by_path = {p: b for p, b, _pt in moved}
+        pt_by_path = {p: pt for p, _b, pt in moved}
         collected = stats_mod.collect_stats(
-            self.spark, [p for p, _b in moved], stats_cols
+            self.spark, [p for p, _b, _pt in moved], stats_cols
         )
-        sketches = self._collect_sketches(props, df.columns, [p for p, _b in moved])
+        sketches = self._collect_sketches(
+            props, df.columns, [p for p, _b, _pt in moved]
+        )
         out = []
         for c in collected:
             st = c["stats"]
@@ -837,6 +888,15 @@ class IcehouseTable:
                 st = {**st, BUCKET_STAT: {
                     "min": b, "max": b, "null_count": 0,
                     "k": spec[0], "n": spec[1],
+                }}
+            for label, v in (pt_by_path.get(c["path"]) or {}).items():
+                # one single-value stats entry per transform: min == max is
+                # what makes the EXISTING prune path exact on the source
+                # column, and spec_id records the write-time generation
+                st = {**st, f"{PT_STAT_PREFIX}{label}": {
+                    "min": v, "max": v,
+                    "null_count": c["row_count"] if v is None else 0,
+                    "spec_id": pt_spec_id,
                 }}
             out.append(
                 DataFile(
@@ -1597,6 +1657,46 @@ class IcehouseTable:
 
     BUCKET_EVOLVED_PROP = "bucket.evolved"
 
+    def partition_spec(self) -> list:
+        """Current partition transforms ([] when unpartitioned)."""
+        return ptn.parse_spec(self.properties() if self.exists() else {})
+
+    def set_partition_spec(self, transforms) -> Snapshot:
+        """Evolve the partition-transform spec WITHOUT rewriting data
+        (Iceberg partition-spec evolution for identity/date/truncate
+        transforms): a metadata-only ``set-spec`` commit. Existing files
+        keep their write-time ``__pt:`` tags (self-describing — the label
+        names the transform), new writes land under the new spec, and any
+        rewrite (compaction/Z-order) re-derives tags from row content
+        under the CURRENT spec, migrating old files incrementally.
+
+        ``transforms``: iterable of ``Transform`` or strings like
+        ``"day(warc_ts)"`` / ``"truncate(url,16)"`` / ``"lang"``
+        (identity shorthand). An empty list clears the spec."""
+        spec = [
+            t if isinstance(t, ptn.Transform) else ptn.parse_transform_text(t)
+            for t in transforms
+        ]
+        types = {f.name: f.dataType.typeName() for f in self.schema().fields}
+        seen = set()
+        for t in spec:
+            if t.col not in types:
+                raise ValueError(f"{t.label}: {t.col!r} is not a table column")
+            t.validate(types[t.col])
+            if t.label in seen:
+                raise ValueError(f"duplicate partition transform {t.label}")
+            seen.add(t.label)
+        return self._commit(
+            "set-spec", [], set(),
+            properties={
+                PARTITION_SPEC_PROP: json.dumps([t.to_json() for t in spec]),
+                PARTITION_SPEC_ID_PROP: str(
+                    ptn.spec_id(self.properties()) + 1
+                ),
+            },
+            extra_summary={"partition_spec": [t.label for t in spec]},
+        )
+
     def set_bucket_spec(self, key: str, n: int) -> Snapshot:
         """Evolve the hash-bucket spec WITHOUT rewriting data (Iceberg's
         partition-spec evolution, for the bucket transform): a metadata-only
@@ -1660,6 +1760,7 @@ class IcehouseTable:
         bs = self.bucket_spec()
         if bs:
             cols.add(bs[0])
+        cols |= {t.col for t in ptn.parse_spec(p)}
         for prop in ("sketch.cols", "bloom.cols"):
             cols |= {c for c in (p.get(prop) or "").split(",") if c}
         cs = self.cluster_spec()
