@@ -310,6 +310,39 @@ def main() -> None:
         bulk_sec = time.time() - t0
         maint["bucketed_merge_sec"] = round(bulk_sec, 3)
         maint["bucketed_merge_rows_per_sec"] = round(n_delta / bulk_sec, 1)
+
+        # ------------- partition-transform segment (round 5) ---------------
+        # day(warc_ts)-partitioned build, then the O(metadata) retention
+        # delete: whole days drop from the manifest, zero DV bytes written.
+        import datetime as _dt
+
+        from ecommerce_lakehouse_spark.table.partitioning import (
+            partition_tuple_of_file,
+        )
+
+        t0 = time.time()
+        ptbl = IcehouseTable.create(
+            spark, f"{work}/pages_partitioned",
+            generate_pages(spark, N_PAGES, seed=42, partitions=CPUS * 2),
+            properties={
+                "partition.spec": '[{"transform": "day", "col": "warc_ts"}]'
+            },
+        )
+        maint["partitioned_build_sec"] = round(time.time() - t0, 3)
+        maint["partitioned_files"] = len(ptbl.live_files())
+        # retention cutoff = median day, read from manifest tags (no scan)
+        days = sorted({
+            v
+            for f in ptbl.live_files()
+            for _l, v in (partition_tuple_of_file(f) or ())
+        })
+        cutoff = _dt.datetime.strptime(days[len(days) // 2], "%Y-%m-%d")
+        t0 = time.time()
+        psnap = delete_where(ptbl, [Pred("warc_ts", "<", cutoff)])
+        maint["partition_drop_sec"] = round(time.time() - t0, 3)
+        maint["partition_drop_files"] = psnap.summary["metadata_deleted_files"]
+        maint["partition_drop_rows"] = psnap.summary["metadata_deleted_rows"]
+        maint["partition_drop_dv_files"] = psnap.summary["delete_vectors_added"]
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

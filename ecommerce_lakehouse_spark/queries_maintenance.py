@@ -118,6 +118,46 @@ WHERE warc_ts > TIMESTAMP '2023-12-01 00:00:00'
 """
 
 
+def m_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-transform lifecycle end-to-end: create UNPARTITIONED,
+    evolve the spec to day(warc_ts) (metadata-only commit), append a
+    second batch (tagged under the new spec), compact (bins never mix
+    partition tuples or generations), then scan a day-bounded url slice.
+    The mixed-generation layout must return exactly the relational slice
+    — partitioning is layout, never semantics (Iceberg's
+    spec-evolution contract; reference's date-partitioned bronze writes
+    ``src/utils/02_bronze_ingest.py`` are the static special case)."""
+    from .maintenance import compact
+    from .table import IcehouseTable, Predicate
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(spark, f"{d}/t", _read_fixture(spark, "cz_base", 5))
+        tbl.set_partition_spec(["day(warc_ts)"])
+        tbl.append(_read_fixture(spark, "cz_rev2", 3))
+        compact(tbl, target_file_bytes=8 * 1024 * 1024)
+        cutoff = datetime.datetime(2023, 12, 1)
+        return _pages_out(
+            tbl.scan([
+                Predicate("warc_ts", ">", cutoff),
+                Predicate("url", "<", "https://site025"),
+            ])
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_PARTITIONED_SCAN = f"""
+SELECT {_PAGES_PROJ}
+FROM (
+  SELECT * FROM read_parquet('{fixture_path("cz_base")}')
+  UNION ALL
+  SELECT * FROM read_parquet('{fixture_path("cz_rev2")}')
+)
+WHERE warc_ts > TIMESTAMP '2023-12-01 00:00:00' AND url < 'https://site025'
+"""
+
+
 def m_scd2_history_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 recrawl history: two batches → closed/open version chains."""
     from .operators.scd import scd2_merge
@@ -169,6 +209,38 @@ SELECT b.url, length(b.text), epoch_us(b.ts), {_TS_MAX_US},
        TRUE, {_SK.format(ts="b.ts", url="b.url")}
 FROM b
 WHERE b.url NOT IN (SELECT url FROM r)
+"""
+
+
+def m_metadata_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DELETE (Iceberg partition drop): day-partitioned
+    table, delete everything before a mid-day cutoff — whole days drop
+    from the manifest with zero DV bytes, the boundary day keeps its
+    evening rows through a deletion vector. Scan must equal the
+    relational anti-slice; the job asserts the fast path actually fired
+    (a silent fallback to pure DVs would still pass the hash)."""
+    from .table import IcehouseTable, Predicate, delete_where
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "cz_base", 5),
+            properties={
+                "partition.spec": '[{"transform": "day", "col": "warc_ts"}]'
+            },
+        )
+        cutoff = datetime.datetime(2023, 12, 1, 12, 0, 0)
+        snap = delete_where(tbl, [Predicate("warc_ts", "<", cutoff)])
+        assert snap is not None and snap.summary["metadata_deleted_files"] > 0
+        return _pages_out(tbl.scan()).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_METADATA_DELETE = f"""
+SELECT {_PAGES_PROJ}
+FROM read_parquet('{fixture_path("cz_base")}')
+WHERE warc_ts >= TIMESTAMP '2023-12-01 12:00:00'
 """
 
 
@@ -876,6 +948,8 @@ FROM read_parquet('{fixture_path("merge_base")}')
 MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
+    "m_partitioned_scan": (m_partitioned_scan, SQL_M_PARTITIONED_SCAN),
+    "m_metadata_delete": (m_metadata_delete, SQL_M_METADATA_DELETE),
     "m_scd2_history_pages": (m_scd2_history_pages, SQL_M_SCD2_HISTORY),
     "m_snapshot_expire": (m_snapshot_expire, SQL_M_SNAPSHOT_EXPIRE),
     "m_delete_vectors_pages": (m_delete_vectors_pages, SQL_M_DELETE_VECTORS),

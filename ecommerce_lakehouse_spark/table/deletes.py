@@ -15,7 +15,11 @@ materialized, never resurrected.
 Scale shape: the position scan reads only stats-pruned candidate files and
 prunes columns to the predicate columns + hidden ``_metadata`` (the html
 payload is never read); the DV sidecars are tiny and counted-broadcast on
-read.
+read. Files whose stats PROVE every row matches (a whole day under a
+day(warc_ts) partition spec, a whole url prefix under Z-order) skip rows
+entirely: they are dropped from the manifest in the same commit —
+Iceberg's metadata-only DELETE / partition-drop path, O(metadata) at any
+table size.
 """
 
 from __future__ import annotations
@@ -121,70 +125,98 @@ def delete_where(
     snap = table.current_snapshot()
     if snap is None:
         return None
-    candidates = prune_files(
-        table.live_files(snap), table._stats_predicates(predicates)
-    )
+    norm = table._stats_predicates(predicates)
+    candidates = prune_files(table.live_files(snap), norm)
     if not candidates:
         return None
+    full = table.delete_registry_full(snap)
 
-    # position scan: predicate columns + provenance only — never the payload
-    df = table.read_files(candidates, snapshot=snap, with_pos=True)
-    for p in predicates:
-        df = df.filter(p.to_column())
-    matches = df.select(
-        F.col("__fname").alias("fname"), F.col("__pos").alias("pos")
+    # Metadata-only fast path (Iceberg's partition/whole-file drop): files
+    # whose stats PROVE every row matches — e.g. deleting a full day from a
+    # day(warc_ts)-partitioned table, where min==max per file — are removed
+    # from the manifest outright: zero bytes read, zero DV bytes written,
+    # per dropped file. At 100 TB, retention deletes of whole partitions
+    # become O(metadata). Proof is sound under string-bound truncation
+    # (Predicate.all_match); anything unproven falls through to DVs.
+    dropped = [
+        f for f in candidates
+        if all(p.all_match(f.stats, f.row_count) for p in norm)
+    ]
+    dropped_paths = {f.path for f in dropped}
+    partial = [f for f in candidates if f.path not in dropped_paths]
+    # nominal live rows dropped: file rows minus registered positional
+    # deletes (rows still covered by EQUALITY deletes are not subtracted —
+    # counting them exactly would need the read this path exists to avoid)
+    dropped_rows = sum(
+        f.row_count - full["entries"].get(f.path, {}).get("rows", 0)
+        for f in dropped
     )
 
-    staging = os.path.join(table.path, f"_staging-dv-{uuid.uuid4().hex}")
-    # point deletes -> one sidecar; huge deletes keep write parallelism
-    matches.coalesce(max(1, len(candidates) // 32)).write.mode(
-        "overwrite"
-    ).parquet(staging)
     dv_rels: list[str] = []
     per_file_rows: dict[str, int] = {}
+    per_file_dvs: dict[str, list[str]] = {}
     total = 0
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        final_rel = f"data/dv-{uuid.uuid4().hex[:12]}-{name}"
-        os.rename(os.path.join(staging, name),
-                  os.path.join(table.path, final_rel))
-        rows, _size, _stats = file_stats(os.path.join(table.path, final_rel))
-        if rows == 0:
-            os.unlink(os.path.join(table.path, final_rel))
-            continue
-        dv_rels.append(final_rel)
-        total += rows
-    shutil.rmtree(staging, ignore_errors=True)
-    if total == 0:
+    if partial:
+        # position scan: predicate columns + provenance only — never the
+        # payload
+        df = table.read_files(partial, snapshot=snap, with_pos=True)
+        for p in predicates:
+            df = df.filter(p.to_column())
+        matches = df.select(
+            F.col("__fname").alias("fname"), F.col("__pos").alias("pos")
+        )
+
+        staging = os.path.join(table.path, f"_staging-dv-{uuid.uuid4().hex}")
+        # point deletes -> one sidecar; huge deletes keep write parallelism
+        matches.coalesce(max(1, len(partial) // 32)).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            final_rel = f"data/dv-{uuid.uuid4().hex[:12]}-{name}"
+            os.rename(os.path.join(staging, name),
+                      os.path.join(table.path, final_rel))
+            rows, _size, _stats = file_stats(os.path.join(table.path, final_rel))
+            if rows == 0:
+                os.unlink(os.path.join(table.path, final_rel))
+                continue
+            dv_rels.append(final_rel)
+            total += rows
+        shutil.rmtree(staging, ignore_errors=True)
+    if total == 0 and not dropped_paths:
         return None
 
-    # which data files gained positions, and in WHICH sidecar part files —
-    # registering only the sidecars that actually hold positions for a file
-    # keeps per-file read fan-in and the broadcast row estimate exact
-    # (ADVICE r03: appending the full dv_rels list to every entry made
-    # reads load empty sidecars and over-count). Bounded by candidate count.
-    hit = (
-        table.spark.read.parquet(
-            *[os.path.join(table.path, r) for r in dv_rels]
+    if dv_rels:
+        # which data files gained positions, and in WHICH sidecar part
+        # files — registering only the sidecars that actually hold positions
+        # for a file keeps per-file read fan-in and the broadcast row
+        # estimate exact (ADVICE r03: appending the full dv_rels list to
+        # every entry made reads load empty sidecars and over-count).
+        # Bounded by candidate count.
+        hit = (
+            table.spark.read.parquet(
+                *[os.path.join(table.path, r) for r in dv_rels]
+            )
+            .select("fname", F.col("_metadata.file_path").alias("__dv"))
+            .groupBy("fname")
+            .agg(F.count(F.lit(1)).alias("n"), F.collect_set("__dv").alias("dvs"))
+            .collect()
         )
-        .select("fname", F.col("_metadata.file_path").alias("__dv"))
-        .groupBy("fname")
-        .agg(F.count(F.lit(1)).alias("n"), F.collect_set("__dv").alias("dvs"))
-        .collect()
-    )
-    by_name = {os.path.basename(f.path): f.path for f in candidates}
-    rel_by_base = {os.path.basename(r): r for r in dv_rels}
-    per_file_dvs: dict[str, list[str]] = {}
-    for r in hit:
-        rel = by_name[r["fname"]]
-        per_file_rows[rel] = r["n"]
-        per_file_dvs[rel] = sorted(
-            rel_by_base[os.path.basename(p)] for p in r["dvs"]
-        )
+        by_name = {os.path.basename(f.path): f.path for f in partial}
+        rel_by_base = {os.path.basename(r): r for r in dv_rels}
+        for r in hit:
+            rel = by_name[r["fname"]]
+            per_file_rows[rel] = r["n"]
+            per_file_dvs[rel] = sorted(
+                rel_by_base[os.path.basename(p)] for p in r["dvs"]
+            )
 
-    full = table.delete_registry_full(snap)
-    entries = dict(full["entries"])
+    # dropped files take their registry entries with them (their rows are
+    # gone wholesale; keeping the entries would point at dead files)
+    entries = {
+        k: v for k, v in full["entries"].items() if k not in dropped_paths
+    }
     for rel, n in per_file_rows.items():
         prev = entries.get(rel, {"dvs": [], "rows": 0})
         entries[rel] = {
@@ -193,11 +225,13 @@ def delete_where(
         }
     dm = table._write_delete_registry(entries, full["eq"])
     return table._commit(
-        "delete-rows", [], set(),
+        "delete-rows", [], dropped_paths,
         extra_summary={
-            "deleted_rows": total,
+            "deleted_rows": total + dropped_rows,
             "delete_files_touched": len(per_file_rows),
             "delete_vectors_added": len(dv_rels),
+            "metadata_deleted_files": len(dropped_paths),
+            "metadata_deleted_rows": dropped_rows,
         },
         delete_manifest=dm,
         base_delete_manifest=snap.delete_manifest,

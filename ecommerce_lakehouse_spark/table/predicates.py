@@ -73,6 +73,51 @@ class Predicate:
             return True  # incomparable types: stay conservative
         return True
 
+    def all_match(self, stats: dict | None, row_count: int) -> bool:
+        """True only when the file's stats PROVE every row matches — the
+        metadata-only DELETE fast path (Iceberg's partition-drop case).
+        Conservative in the OPPOSITE direction of :meth:`might_match`:
+        missing/unknown stats ⇒ False (fall back to row-level deletes).
+
+        Sound under string-bound truncation: the stored min is a prefix
+        (≤ true min) and the stored max is rounded UP (≥ true max), so
+        ``hi < v`` proves ``true_max < v`` and ``lo > v`` proves
+        ``true_min > v``; ``lo == hi == v`` pins every value to v exactly.
+        """
+        if not stats or self.column not in stats:
+            return False
+        cs = stats[self.column]
+        lo, hi = cs.get("min"), cs.get("max")
+        nulls = cs.get("null_count")
+        if row_count == 0:
+            return True  # vacuous: dropping an empty file loses nothing
+        if self.op == "is_null":
+            return nulls is not None and nulls >= row_count
+        if self.op == "not_null":
+            return nulls == 0
+        # comparisons never match NULLs: need a proven-null-free file
+        if nulls != 0 or lo is None or hi is None:
+            return False
+        v = self.value
+        try:
+            if self.op == ">":
+                return lo > v
+            if self.op == ">=":
+                return lo >= v
+            if self.op == "<":
+                return hi < v
+            if self.op == "<=":
+                return hi <= v
+            if self.op == "=":
+                return lo == hi == v
+            if self.op == "!=":
+                return hi < v or lo > v
+            if self.op == "in":
+                return lo == hi and lo in v
+        except TypeError:
+            return False  # incomparable types: no proof
+        return False
+
     # -- Spark residual --------------------------------------------------------
 
     def to_column(self) -> Column:

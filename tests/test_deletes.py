@@ -459,10 +459,13 @@ def test_delete_where_registers_only_sidecars_containing_each_file(spark, tmp_pa
         generate_pages(spark, 400, seed=67, partitions=64),
     )
     assert len(tbl.live_files()) >= 64
-    # a broad delete over every file -> the writer emits >= 2 sidecar parts
-    import datetime
-
-    delete_where(tbl, [Predicate("warc_ts", ">", datetime.datetime(2020, 1, 1))])
+    # a broad UNPROVABLE delete touching every file -> the writer emits
+    # >= 2 sidecar parts (a tautology like warc_ts > 2020 would now be
+    # proven all-matching per file and truncate via the metadata path)
+    all_urls = sorted(
+        r.url for r in tbl.scan().select("url").distinct().collect()
+    )
+    delete_where(tbl, [Predicate("url", "in", tuple(all_urls[::2]))])
     reg = tbl.delete_registry()
     assert reg
     all_dvs = {dv for e in reg.values() for dv in e["dvs"]}
@@ -585,3 +588,120 @@ def test_light_delete_ratio_leaves_file_alone(spark, tmp_path):
     delete_where(tbl, [Predicate("url", "in", tuple(more))])
     assert compact(tbl, target_file_bytes=target, delete_ratio=None) is None
     assert compact(tbl, target_file_bytes=target) is not None
+
+
+# ------------------------------------------------- metadata-only fast path
+
+
+def _day_table(spark, tmp_path, n=400, seed=67):
+    df = generate_pages(spark, n, seed=seed, partitions=4)
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "dp"), df,
+        properties={"partition.spec": '[{"transform": "day", "col": "warc_ts"}]'},
+    )
+    return tbl, df
+
+
+def test_metadata_delete_drops_whole_partition_files(spark, tmp_path):
+    import datetime
+
+    tbl, df = _day_table(spark, tmp_path)
+    cutoff = datetime.datetime(2023, 12, 1)
+    n_before = len(tbl.live_files())
+    snap = delete_where(tbl, [Predicate("warc_ts", "<", cutoff)])
+    assert snap is not None and snap.operation == "delete-rows"
+    # day-partitioned files have min==max at day grain: every pre-cutoff
+    # file is PROVEN all-matching and dropped from the manifest — no DV
+    # bytes written at all for a day-aligned retention delete
+    assert snap.summary["metadata_deleted_files"] > 0
+    assert snap.summary["delete_vectors_added"] == 0
+    assert len(tbl.live_files()) == n_before - snap.summary["metadata_deleted_files"]
+    want = df.filter(F.col("warc_ts") >= cutoff).count()
+    assert tbl.scan().count() == want == snap.summary["total_rows"]
+    assert snap.summary["deleted_rows"] == df.count() - want
+
+
+def test_metadata_delete_mixed_with_dv_on_boundary_file(spark, tmp_path):
+    import datetime
+
+    tbl, df = _day_table(spark, tmp_path)
+    # mid-day cutoff: whole days drop via metadata, the boundary day's
+    # file keeps its morning rows through a deletion vector
+    cutoff = datetime.datetime(2023, 12, 1, 12, 0, 0)
+    snap = delete_where(tbl, [Predicate("warc_ts", ">=", cutoff)])
+    assert snap is not None
+    assert snap.summary["metadata_deleted_files"] > 0
+    assert snap.summary["delete_vectors_added"] > 0
+    want = df.filter(F.col("warc_ts") < cutoff)
+    got = tbl.scan().select("url").sort("url").collect()
+    assert got == want.select("url").sort("url").collect()
+
+
+def test_metadata_delete_takes_registry_entries_along(spark, tmp_path):
+    import datetime
+
+    tbl, df = _day_table(spark, tmp_path)
+    # first a row-level delete inside the BUSIEST day (several rows, so
+    # its file has distinct url bounds and can't be metadata-dropped by
+    # the url delete) -> that file gains a DV entry
+    day = (
+        df.groupBy(F.to_date("warc_ts").alias("d"))
+        .count().orderBy(F.desc("count"), "d").first().d
+    )
+    day_lo = datetime.datetime(day.year, day.month, day.day)
+    day_hi = day_lo + datetime.timedelta(days=1)
+    victims = [
+        r.url
+        for r in df.filter(
+            (F.col("warc_ts") >= day_lo) & (F.col("warc_ts") < day_hi)
+        ).select("url").orderBy("url").limit(3).collect()
+    ]
+    delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+    assert tbl.delete_registry()  # the day's file carries an entry
+    pre = tbl.current_snapshot().snapshot_id
+    # now drop the whole day: the file AND its registry entry must go
+    snap = delete_where(
+        tbl,
+        [Predicate("warc_ts", ">=", day_lo), Predicate("warc_ts", "<", day_hi)],
+    )
+    assert snap is not None and snap.summary["metadata_deleted_files"] >= 1
+    live = {f.path for f in tbl.live_files()}
+    assert all(rel in live for rel in tbl.delete_registry())
+    day_rows = df.filter(
+        (F.col("warc_ts") >= day_lo) & (F.col("warc_ts") < day_hi)
+    ).count()
+    # nominal count excludes the rows the earlier DV already deleted
+    assert snap.summary["metadata_deleted_rows"] == day_rows - len(victims)
+    assert tbl.scan().count() == df.count() - day_rows
+    # time travel still sees the pre-drop state
+    assert tbl.scan(snapshot_id=pre).count() == df.count() - len(victims)
+
+
+def test_unprovable_delete_falls_back_to_dvs(spark, tbl):
+    # unpartitioned random layout: url predicates can't be proven
+    # all-matching for any file -> pure DV path, no file dropped
+    files_before = {f.path for f in tbl.live_files()}
+    victims = [r.url for r in tbl.scan().select("url").orderBy("url").limit(5).collect()]
+    snap = delete_where(tbl, [Predicate("url", "in", tuple(victims))])
+    assert snap.summary["metadata_deleted_files"] == 0
+    assert snap.summary["deleted_rows"] == 5
+    assert {f.path for f in tbl.live_files()} == files_before
+
+
+def test_metadata_delete_rows_appear_in_cdc_feed(spark, tmp_path):
+    import datetime
+
+    tbl, df = _day_table(spark, tmp_path, n=200)
+    cutoff = datetime.datetime(2023, 12, 1)
+    pre = tbl.current_snapshot().snapshot_id
+    snap = delete_where(tbl, [Predicate("warc_ts", "<", cutoff)])
+    assert snap.summary["metadata_deleted_files"] > 0
+    # the CDC planner diffs live sets, so manifest-dropped files emit
+    # their rows as deletes — the fast path can't escape the change feed
+    feed = tbl.changes(pre, snap.snapshot_id, cdc=True)
+    deletes = feed.filter(F.col("_change_type") == "delete")
+    want = df.filter(F.col("warc_ts") < cutoff)
+    assert sorted(r.url for r in deletes.select("url").collect()) == sorted(
+        r.url for r in want.select("url").collect()
+    )
+    assert feed.filter(F.col("_change_type") != "delete").count() == 0
