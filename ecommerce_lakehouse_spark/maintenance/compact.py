@@ -54,6 +54,7 @@ def plan_compaction(
     min_bin_files: int = 2,
     snapshot=None,
     delete_ratio: float | None = DELETE_RATIO,
+    predicates=None,
 ) -> list[CompactionBin]:
     """First-fit-decreasing pack of small files into ≈target-size bins.
 
@@ -87,10 +88,25 @@ def plan_compaction(
             return False
         return reg.get(f.path, {}).get("rows", 0) / f.row_count >= delete_ratio
 
+    # predicate scope (Iceberg rewrite_data_files' `where`): only files
+    # whose stats say they MIGHT hold matching rows are considered — the
+    # rewrite itself stays whole-file (layout maintenance, never row
+    # filtering), so scoping is a pure metadata cut on the plan. The
+    # 100-TB shape: compact yesterday's hot partition without the planner
+    # even listing the cold ones.
+    scoped = table.live_files(snap)
+    if predicates:
+        from ..table.predicates import prune_files
+
+        scoped = prune_files(
+            scoped, table._stats_predicates(list(predicates)),
+            aliases=table.schema_aliases(),
+        )
+
     delete_driven = set()
     candidates = []
     threshold = int(target_file_bytes * small_file_ratio)
-    for f in table.live_files(snap):
+    for f in scoped:
         heavy = _delete_heavy(f)
         if f.size_bytes < threshold or heavy:
             candidates.append(f)
@@ -214,18 +230,21 @@ def compact(
     stats_cols: list[str] | None = None,
     branch: str | None = None,
     delete_ratio: float | None = DELETE_RATIO,
+    predicates=None,
 ) -> Snapshot | None:
     """Compact small and delete-heavy files; returns the new snapshot
     (None if nothing to do). ``branch`` compacts the branch head and
     advances the branch pointer — maintenance as a write-audit-publish
-    workflow."""
+    workflow. ``predicates`` scopes the plan to files that might hold
+    matching rows (Iceberg rewrite_data_files' ``where``); the rewrite
+    stays whole-file."""
     snap = (
         table._resolve_snapshot(branch) if branch is not None
         else table.current_snapshot()
     )
     bins = plan_compaction(table, target_file_bytes, small_file_ratio,
                            min_bin_files, snapshot=snap,
-                           delete_ratio=delete_ratio)
+                           delete_ratio=delete_ratio, predicates=predicates)
     if not bins:
         return None
     plan_repr = ";".join(f"{b.bin_id}:{','.join(f.path for f in b.files)}" for b in bins)

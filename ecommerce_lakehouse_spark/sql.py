@@ -33,7 +33,9 @@ Grammar (case-insensitive keywords; one statement per call):
   ALTER TABLE <t> ALTER COLUMN <name> TYPE <ddl-type>   (widening only)
   ALTER TABLE <t> SET PARTITION SPEC (day(warc_ts), truncate(url, 16))
         (partition-transform evolution; metadata-only — empty parens clear)
-  OPTIMIZE <t> [ZORDER BY (c1, c2[, extra...])]
+  OPTIMIZE <t> [WHERE <predicates>] [ZORDER BY (c1, c2[, extra...])]
+        (WHERE scopes the rewrite plan to files whose stats might match —
+         whole-file rewrites, never row filtering)
   VACUUM <t> [RETAIN <n> HOURS]
   DESCRIBE HISTORY <t>
   INSERT INTO <t> SELECT ...            (atomic append of the query result)
@@ -733,6 +735,7 @@ class IcehouseSQL:
 
     _OPTIMIZE = re.compile(
         r"^OPTIMIZE (?P<t>'[^']+'|[\w.]+)"
+        r"(?: WHERE (?P<w>.+?))?"
         r"(?: ZORDER BY \((?P<cols>[^)]+)\))?$",
         re.I,
     )
@@ -743,10 +746,18 @@ class IcehouseSQL:
 
         m = self._OPTIMIZE.match(s)
         if not m:
-            raise IcehouseSQLError("OPTIMIZE <t> [ZORDER BY (c1, c2[, ...])]")
+            raise IcehouseSQLError(
+                "OPTIMIZE <t> [WHERE <predicates>] [ZORDER BY (c1, c2[, ...])]"
+            )
         table = self._table(m.group("t"))
+        # WHERE scopes the rewrite plan to files that might hold matching
+        # rows (whole-file rewrites — layout, never row filtering): the
+        # Iceberg rewrite_data_files `where` / Delta `OPTIMIZE ... WHERE`
+        preds = parse_predicates(m.group("w")) if m.group("w") else None
         if not m.group("cols"):
-            return DMLResult("optimize-compact", compact(table))
+            return DMLResult(
+                "optimize-compact", compact(table, predicates=preds)
+            )
         cols = [c.strip() for c in m.group("cols").split(",")]
         if len(cols) < 2:
             raise IcehouseSQLError(
@@ -754,7 +765,8 @@ class IcehouseSQL:
                 "or use compact)"
             )
         snap = zorder_by(
-            table, url_col=cols[0], ts_col=cols[1], extra_cols=cols[2:] or None
+            table, url_col=cols[0], ts_col=cols[1],
+            extra_cols=cols[2:] or None, predicates=preds,
         )
         return DMLResult("optimize-zorder", snap)
 

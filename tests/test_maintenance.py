@@ -476,3 +476,76 @@ def test_expire_trims_metadata_log(spark, tmp_path):
     assert tbl.scan(snapshot_id=pre).count() == 120
     tbl.append(generate_pages(spark, 5, seed=99, partitions=1))
     assert tbl.scan().count() == 125
+
+
+# --------------------------------------------- predicate-scoped compaction
+
+
+def test_predicate_scoped_compaction_touches_only_matching_files(spark, tmp_path):
+    """Iceberg rewrite_data_files `where`: only files whose stats might
+    match are planned; everything else keeps its exact file identity."""
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "scoped"),
+        generate_pages(spark, 300, seed=71, partitions=3),
+        properties={"partition.spec": '[{"transform": "day", "col": "warc_ts"}]'},
+    )
+    for s in (72, 73):
+        tbl.append(generate_pages(spark, 120, seed=s, partitions=3))
+    before = table_rows(tbl)
+    files_before = {f.path for f in tbl.live_files()}
+
+    from ecommerce_lakehouse_spark.table.partitioning import partition_tuple_of_file
+
+    days = sorted({
+        v for f in tbl.live_files() for _l, v in (partition_tuple_of_file(f) or ())
+    })
+    target_day = days[0]
+    lo = datetime.datetime.strptime(target_day, "%Y-%m-%d")
+    hi = lo + datetime.timedelta(days=1)
+    preds = [Predicate("warc_ts", ">=", lo), Predicate("warc_ts", "<", hi)]
+
+    in_scope_before = {
+        f.path for f in tbl.live_files()
+        if dict(partition_tuple_of_file(f) or ()).get("day(warc_ts)") == target_day
+    }
+    assert len(in_scope_before) >= 2  # several small files to pack
+    snap = compact(tbl, target_file_bytes=64 * 1024 * 1024, predicates=preds)
+    assert snap is not None
+    files_after = {f.path for f in tbl.live_files()}
+    # out-of-scope files are untouched, byte-for-byte the same entries
+    assert files_before - in_scope_before <= files_after
+    # in-scope small files were packed
+    assert not (in_scope_before & files_after)
+    assert table_rows(tbl) == before
+
+
+def test_sql_optimize_where_scopes_plan(spark, tmp_path):
+    from ecommerce_lakehouse_spark.sql import IcehouseSQL
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "sqlopt"),
+        generate_pages(spark, 200, seed=74, partitions=2),
+    )
+    tbl.append(generate_pages(spark, 80, seed=75, partitions=2))
+    # revision=1 shifts warc_ts +35 days: wholly AFTER the cutoff below,
+    # so these files must survive the scoped rewrite untouched
+    tbl.append(generate_pages(spark, 80, seed=76, partitions=2, revision=1))
+    before = table_rows(tbl)
+    files_before = {f.path for f in tbl.live_files()}
+    cut = "2023-12-15 00:00:00"
+    isql = IcehouseSQL(spark)
+    res = isql.sql(
+        f"OPTIMIZE '{tbl.path}' WHERE warc_ts < TIMESTAMP '{cut}'"
+    )
+    assert res.statement == "optimize-compact" and res.detail is not None
+    # any surviving original file must lie wholly OUTSIDE the scope
+    # (min >= cutoff: its stats prove no row could match warc_ts < cutoff)
+    cut_us = int(
+        datetime.datetime(2023, 12, 15, tzinfo=datetime.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    survivors = [f for f in tbl.live_files() if f.path in files_before]
+    assert survivors  # the fixture spans the cutoff on both sides
+    for f in survivors:
+        assert f.stats["warc_ts"]["min"] >= cut_us
+    assert table_rows(tbl) == before
