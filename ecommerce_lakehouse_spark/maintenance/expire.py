@@ -57,9 +57,18 @@ def expire_snapshots(
     orphan_grace_ms: int = 3_600_000,
     keep_metadata_versions: int = 100,
     protect_ids: "set[int] | None" = None,
+    dry_run: bool = False,
 ) -> ExpireResult:
     """Expire all but the newest ``keep_last`` snapshots (and, if given, any
     snapshot newer than ``older_than_ms`` survives regardless).
+
+    ``dry_run=True`` previews the decision without mutating anything: the
+    returned ExpireResult reports the snapshots that WOULD expire and the
+    files/bytes that WOULD be reclaimed, but no metadata commit, file
+    deletion, orphan sweep, or metadata-log trim happens. The preview is
+    conservative: the max-ref-age-ms ref-aging pass (a separate mutation)
+    is skipped, so aged refs still pin lineage in the preview — a real run
+    may free MORE, never less.
     ``protect_ids`` pins specific snapshots unconditionally — external
     references the table metadata cannot see, e.g. a Catalog's pinned
     snapshot (Catalog.expire passes it automatically).
@@ -77,7 +86,7 @@ def expire_snapshots(
     out from under a writer that doesn't use the ledger."""
     props = table.properties()
     now_ms = int(time.time() * 1000)
-    if PROP_MAX_REF_AGE in props:
+    if PROP_MAX_REF_AGE in props and not dry_run:
         _drop_aged_refs(table, now_ms - int(props[PROP_MAX_REF_AGE]))
     if keep_last is None:
         keep_last = int(props.get(PROP_MIN_SNAPSHOTS, 1))
@@ -200,6 +209,24 @@ def expire_snapshots(
             for f in table._read_manifest(rel):
                 if f.path not in live_data:
                     dead_data.add(f.path)
+
+    if dry_run:
+        # preview only: size the would-be sweep from the filesystem and
+        # return before any mutation (no CAS commit, no deletes, no trim)
+        freed = 0
+        n_data = 0
+        for rel in dead_data:
+            p = os.path.join(table.path, rel)
+            if os.path.exists(p):
+                freed += os.path.getsize(p)
+                n_data += 1
+        n_mf = sum(
+            1 for rel in dead_manifests | dead_lists
+            if os.path.exists(os.path.join(table.path, rel))
+        )
+        return ExpireResult(
+            [s.snapshot_id for s in expired], n_data, n_mf, freed
+        )
 
     # -- commit new metadata (CAS) before sweeping bytes --------------------
     for _ in range(10):

@@ -36,8 +36,8 @@ Grammar (case-insensitive keywords; one statement per call):
   OPTIMIZE <t> [WHERE <predicates>] [ZORDER BY (c1, c2[, extra...])]
         (WHERE scopes the rewrite plan to files whose stats might match —
          whole-file rewrites, never row filtering)
-  VACUUM <t> [RETAIN <n> HOURS]
-  DESCRIBE HISTORY <t>
+  VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]   (DRY RUN previews: no mutation)
+  DESCRIBE HISTORY|DETAIL <t>
   SHOW PARTITIONS|FILES|MANIFESTS <t>   (metadata DataFrames; no data read)
   INSERT INTO <t> SELECT ...            (atomic append of the query result)
   CREATE TABLE <t> AS SELECT ...        (CTAS — schema from the query)
@@ -773,7 +773,9 @@ class IcehouseSQL:
         return DMLResult("optimize-zorder", snap)
 
     _VACUUM = re.compile(
-        r"^VACUUM (?P<t>'[^']+'|[\w.]+)(?: RETAIN (?P<h>\d+) HOURS?)?$", re.I
+        r"^VACUUM (?P<t>'[^']+'|[\w.]+)(?: RETAIN (?P<h>\d+) HOURS?)?"
+        r"(?P<dry> DRY RUN)?$",
+        re.I,
     )
 
     def _vacuum(self, s: str):
@@ -783,23 +785,33 @@ class IcehouseSQL:
 
         m = self._VACUUM.match(s)
         if not m:
-            raise IcehouseSQLError("VACUUM <t> [RETAIN <n> HOURS]")
+            raise IcehouseSQLError("VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]")
         table = self._table(m.group("t"))
         older = (
             int(time.time() * 1000) - int(m.group("h")) * 3_600_000
             if m.group("h") else None
         )
         return DMLResult(
-            "vacuum", expire_snapshots(table, older_than_ms=older)
+            "vacuum",
+            expire_snapshots(
+                table, older_than_ms=older, dry_run=bool(m.group("dry"))
+            ),
         )
 
-    _DESCRIBE = re.compile(r"^DESCRIBE HISTORY (?P<t>'[^']+'|[\w.]+)$", re.I)
+    _DESCRIBE = re.compile(
+        r"^DESCRIBE (?P<what>HISTORY|DETAIL) (?P<t>'[^']+'|[\w.]+)$", re.I
+    )
 
     def _describe(self, s: str):
         m = self._DESCRIBE.match(s)
         if not m:
-            raise IcehouseSQLError("DESCRIBE supports: DESCRIBE HISTORY <t>")
-        return self._table(m.group("t")).history()
+            raise IcehouseSQLError(
+                "DESCRIBE supports: DESCRIBE HISTORY|DETAIL <t>"
+            )
+        table = self._table(m.group("t"))
+        if m.group("what").upper() == "HISTORY":
+            return table.history()
+        return table.detail()
 
     _SHOW = re.compile(
         r"^SHOW (?P<what>PARTITIONS|FILES|MANIFESTS) (?P<t>'[^']+'|[\w.]+)$",

@@ -312,6 +312,44 @@ class IcehouseTable:
             "total_rows long, total_bytes long",
         )
 
+    def detail(self) -> DataFrame:
+        """One-row table summary (the DESCRIBE DETAIL surface): location,
+        current version/snapshot, live-file counts and bytes, row count,
+        snapshot/branch/tag counts, layout specs, and properties — all
+        metadata-only (manifest reads, zero data bytes)."""
+        live = self.live_files()
+        cur = self.current_snapshot()
+        last = (
+            datetime.datetime.fromtimestamp(
+                cur.timestamp_ms / 1000.0, tz=datetime.timezone.utc
+            ).replace(tzinfo=None)
+            if cur is not None else None
+        )
+        bucket = self.bucket_spec()
+        row = (
+            self.path,
+            self.current_version(),
+            cur.snapshot_id if cur is not None else None,
+            last,
+            len(live),
+            sum(f.size_bytes for f in live),
+            self.row_count(),
+            len(self.snapshots()),
+            len(self.branches()),
+            len(self.refs()),
+            json.dumps(self.partition_spec()) if self.partition_spec() else None,
+            f"bucket({bucket[1]}, {bucket[0]})" if bucket else None,
+            {k: str(v) for k, v in self.properties().items()},
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "location string, current_version long, current_snapshot_id long, "
+            "last_modified timestamp_ntz, num_files long, size_bytes long, "
+            "num_rows long, num_snapshots long, num_branches long, "
+            "num_tags long, partition_spec string, bucket_spec string, "
+            "properties map<string,string>",
+        )
+
     _FILES_SCHEMA = (
         "path string, row_count long, size_bytes long, added_by long, "
         "bucket int, partition map<string,string>, delete_rows long, "

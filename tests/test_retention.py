@@ -101,3 +101,24 @@ def test_set_properties_commit_is_content_neutral_for_changes(spark, tmp_path):
     # tombstone removal
     tbl.set_properties({"custom.owner": None})
     assert "custom.owner" not in tbl.properties()
+
+
+def test_dry_run_skips_ref_aging_and_is_conservative(spark, tmp_path):
+    """dry_run previews without mutating refs: an aged tag still pins its
+    snapshot in the preview (conservative bound), and the refs survive."""
+    tbl = _table_with_history(spark, tmp_path, appends=1)  # snaps 1,2
+    tbl.create_tag("aged")
+    time.sleep(0.2)
+    tbl.append(generate_pages(spark, 10, seed=79, partitions=1))
+    tbl.set_properties({PROP_MAX_REF_AGE: "150"})
+    preview = expire_snapshots(
+        tbl, keep_last=1, orphan_grace_ms=0, dry_run=True
+    )
+    assert "aged" in tbl.refs(), "dry run must not drop refs"
+    tagged = tbl.refs()["aged"]
+    assert tagged not in preview.expired_snapshots
+    real = expire_snapshots(tbl, keep_last=1, orphan_grace_ms=0)
+    assert "aged" not in tbl.refs()
+    # the real run reclaims at least everything the preview promised
+    assert set(real.expired_snapshots) >= set(preview.expired_snapshots)
+    assert real.freed_bytes >= preview.freed_bytes

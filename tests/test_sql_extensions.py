@@ -330,3 +330,54 @@ def test_alter_out_of_grammar_still_raises(spark, sqlx):
     tbl, isql = sqlx
     with pytest.raises(IcehouseSQLError):
         isql.sql(f"ALTER TABLE '{tbl.path}' SET LOCATION '/elsewhere'")
+
+
+# --------------------------------------------- VACUUM DRY RUN / DESCRIBE
+
+
+def test_vacuum_dry_run_previews_then_real_run_matches(spark, sqlx):
+    """DRY RUN must mutate nothing and its numbers must be exactly what
+    the real VACUUM then reclaims (no ref-aging policy set, so the
+    conservative preview is exact here)."""
+    tbl, isql = sqlx
+    _grow(spark, tbl)
+    from ecommerce_lakehouse_spark.maintenance import compact
+
+    compact(tbl, target_file_bytes=64 * 1024 * 1024)
+    n_snaps = len(tbl.snapshots())
+    data_dir = os.path.join(tbl.path, "data")
+    files_before = sorted(os.listdir(data_dir))
+    version_before = tbl.current_version()
+
+    preview = isql.sql(f"VACUUM '{tbl.path}' DRY RUN").detail
+    assert preview.expired_snapshots and preview.deleted_data_files > 0
+    # nothing moved: same files, same metadata version, same snapshots
+    assert sorted(os.listdir(data_dir)) == files_before
+    assert tbl.current_version() == version_before
+    assert len(tbl.snapshots()) == n_snaps
+
+    real = isql.sql(f"VACUUM '{tbl.path}'").detail
+    assert real.expired_snapshots == preview.expired_snapshots
+    assert real.deleted_data_files == preview.deleted_data_files
+    assert real.freed_bytes == preview.freed_bytes
+    assert sorted(os.listdir(data_dir)) != files_before
+
+
+def test_describe_detail_one_row_summary(spark, sqlx):
+    tbl, isql = sqlx
+    tbl.create_tag("t0")
+    tbl.create_branch("audit")
+    _grow(spark, tbl)
+    d = isql.sql(f"DESCRIBE DETAIL '{tbl.path}'").collect()
+    assert len(d) == 1
+    r = d[0]
+    live = tbl.live_files()
+    assert r.location == tbl.path
+    assert r.current_snapshot_id == tbl.current_snapshot().snapshot_id
+    assert r.num_files == len(live)
+    assert r.size_bytes == sum(f.size_bytes for f in live)
+    assert r.num_rows == 160
+    assert (r.num_branches, r.num_tags) == (1, 1)
+    assert r.num_snapshots == len(tbl.snapshots())
+    with pytest.raises(IcehouseSQLError, match="DESCRIBE supports"):
+        isql.sql(f"DESCRIBE SCHEMA '{tbl.path}'")
