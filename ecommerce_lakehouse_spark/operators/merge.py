@@ -648,6 +648,10 @@ def merge_into(
     added = table._stage_dataframe(
         result, None, snapshot_id=table.current_version() + 1,
         target_partitions=parts,
+        # range sampling would execute `result` twice and double the
+        # Observation counters riding it — sort.order degrades to a
+        # within-partition sort here (row-group stats still tighten)
+        range_sort_ok=False,
     )
     if obs is not None:
         got = obs.get

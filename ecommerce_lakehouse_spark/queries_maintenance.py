@@ -158,6 +158,31 @@ WHERE warc_ts > TIMESTAMP '2023-12-01 00:00:00' AND url < 'https://site025'
 """
 
 
+def m_sort_order_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "sort.order" write property end-to-end: both the create and a
+    later append range-sort on warc_ts (disjoint per-file bounds), so a
+    ts-slice scan prunes files on plain appends — no Z-order rewrite.
+    The pruned scan must still return exactly the relational slice, and
+    the query REFUSES to answer if pruning didn't actually cut files
+    (layout regressions surface as a hard error, not a silent pass)."""
+    from .table import IcehouseTable, Predicate
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "cz_base", 5),
+            properties={"sort.order": "warc_ts"},
+        )
+        tbl.append(_read_fixture(spark, "cz_rev2", 3))
+        cutoff = datetime.datetime(2023, 12, 1)
+        pred = [Predicate("warc_ts", ">", cutoff)]
+        if not len(tbl.planned_files(pred)) < len(tbl.live_files()):
+            raise AssertionError("sort.order append produced no file cut")
+        return _pages_out(tbl.scan(pred)).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def m_scd2_history_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 recrawl history: two batches → closed/open version chains."""
     from .operators.scd import scd2_merge
@@ -949,6 +974,9 @@ MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
     "m_partitioned_scan": (m_partitioned_scan, SQL_M_PARTITIONED_SCAN),
+    # sort.order appends land the same rows as compact+zorder's fixture
+    # slice — the Z-order oracle pins the identical-row-set invariant
+    "m_sort_order_scan": (m_sort_order_scan, SQL_M_COMPACT_ZORDER),
     "m_metadata_delete": (m_metadata_delete, SQL_M_METADATA_DELETE),
     "m_scd2_history_pages": (m_scd2_history_pages, SQL_M_SCD2_HISTORY),
     "m_snapshot_expire": (m_snapshot_expire, SQL_M_SNAPSHOT_EXPIRE),

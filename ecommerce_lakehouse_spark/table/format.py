@@ -785,6 +785,7 @@ class IcehouseTable:
         target_partitions: int | None = None,
         cluster_by: list[str] | None = None,
         bucket_props: dict | None = None,
+        range_sort_ok: bool = True,
     ) -> list[DataFile]:
         """Write df's data as immutable parquet files + collect their stats.
 
@@ -848,6 +849,32 @@ class IcehouseTable:
             df = df.repartition(*(target_partitions,) if target_partitions else (), *pt_cols)
         elif target_partitions is not None:
             df = df.repartition(target_partitions)
+        # "sort.order" property (Iceberg sort-order analog): staged files
+        # get sorted on the declared columns so their min/max stats stay
+        # tight on PLAIN APPENDS — stats-based file pruning on the hot
+        # columns without a Z-order rewrite. Distribution is range by
+        # default (files get DISJOINT key ranges — the file-level pruning
+        # win; "sort.order.distribution"="local" opts down to a within-
+        # partition sort, which only tightens parquet row-group stats).
+        # Range sampling executes the upstream plan twice, so the merge
+        # writer — whose Observation row counters would double — passes
+        # range_sort_ok=False and gets the local sort. An explicit
+        # cluster_by (Z-order/compaction) overrides the property entirely.
+        sort_cols = [
+            c.strip() for c in (props_src.get("sort.order") or "").split(",")
+            if c.strip() and c.strip() in df.columns
+        ] if not cluster_by else []
+        if sort_cols:
+            lead = [*pt_cols, *((BUCKET_STAT,) if bucketed else ())]
+            if (
+                range_sort_ok
+                and props_src.get("sort.order.distribution", "range") == "range"
+            ):
+                # preserve the partition count chosen above (Catalyst's
+                # CollapseRepartition folds a preceding plain repartition)
+                n = max(target_partitions or df.rdd.getNumPartitions(), 1)
+                df = df.repartitionByRange(n, *lead, *sort_cols)
+            df = df.sortWithinPartitions(*lead, *sort_cols)
         if drop_cols:
             df = df.drop(*drop_cols)
 
