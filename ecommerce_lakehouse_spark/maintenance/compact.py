@@ -117,23 +117,49 @@ def plan_compaction(
     for f in small:
         key = (bucket_spec_of_file(f), partition_tuple_of_file(f))
         groups.setdefault(key, []).append(f)
+    # sort-rewrite strategy (Iceberg's "sort" vs plain binpack): on a
+    # "sort.order" table, pack RANGE-ADJACENT files — sorted by the lead
+    # sort column's min stat — so each bin, and therefore each output
+    # file, covers a contiguous narrow slice of the key. FFD would
+    # interleave ranges and widen every output's bounds back out, undoing
+    # the property the sorted appends paid for.
+    sort_col = next(
+        (c.strip()
+         for c in (table.properties().get("sort.order") or "").split(",")
+         if c.strip()),
+        None,
+    )
     all_bins: list[list[DataFile]] = []
     for _bucket, gfiles in sorted(
         groups.items(), key=lambda kv: (kv[0][0][0] is None, str(kv[0]))
     ):
         bins: list[list[DataFile]] = []
-        loads: list[int] = []
-        for f in gfiles:
-            placed = False
-            for i, load in enumerate(loads):
-                if load + f.size_bytes <= target_file_bytes:
-                    bins[i].append(f)
-                    loads[i] += f.size_bytes
-                    placed = True
-                    break
-            if not placed:
-                bins.append([f])
-                loads.append(f.size_bytes)
+        if sort_col and all(
+            "min" in f.stats.get(sort_col, {}) for f in gfiles
+        ):
+            cur: list[DataFile] = []
+            load = 0
+            for f in sorted(gfiles, key=lambda f: f.stats[sort_col]["min"]):
+                if cur and load + f.size_bytes > target_file_bytes:
+                    bins.append(cur)
+                    cur, load = [], 0
+                cur.append(f)
+                load += f.size_bytes
+            if cur:
+                bins.append(cur)
+        else:
+            loads: list[int] = []
+            for f in gfiles:
+                placed = False
+                for i, load in enumerate(loads):
+                    if load + f.size_bytes <= target_file_bytes:
+                        bins[i].append(f)
+                        loads[i] += f.size_bytes
+                        placed = True
+                        break
+                if not placed:
+                    bins.append([f])
+                    loads.append(f.size_bytes)
         all_bins.extend(bins)
     out = []
     kept = (
@@ -160,7 +186,23 @@ def _rewrite_bin(
     # DV-applied read pinned to the planning snapshot: compaction
     # MATERIALIZES positional deletes (the replaced files' registry entries
     # drop in the same commit; the commit aborts if NEWER deletes landed)
-    df = table.read_files(b.files, snapshot=base_snap).coalesce(n_out)
+    df = table.read_files(b.files, snapshot=base_snap)
+    # a "sort.order" table keeps its pruning property THROUGH compaction
+    # (Iceberg's sort rewrite strategy vs plain binpack): the bin is
+    # re-range-sorted so outputs get disjoint bounds again — same bytes
+    # read/written as binpack, one extra range-sample read of the bin
+    sort_cols = [
+        c.strip()
+        for c in (table.properties().get("sort.order") or "").split(",")
+        if c.strip() and c.strip() in df.columns
+    ]
+    if sort_cols:
+        df = (
+            df.repartitionByRange(n_out, *sort_cols)
+            if n_out > 1 else df.coalesce(1)
+        ).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.coalesce(n_out)
     staging = os.path.join(table.path, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     moved = []

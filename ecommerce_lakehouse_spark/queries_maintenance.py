@@ -164,7 +164,10 @@ def m_sort_order_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts-slice scan prunes files on plain appends — no Z-order rewrite.
     The pruned scan must still return exactly the relational slice, and
     the query REFUSES to answer if pruning didn't actually cut files
-    (layout regressions surface as a hard error, not a silent pass)."""
+    (layout regressions surface as a hard error, not a silent pass).
+    Compaction runs in between: binpack re-range-sorts a sort.order
+    table, so the cut must SURVIVE the rewrite too."""
+    from .maintenance import compact
     from .table import IcehouseTable, Predicate
 
     d = _fresh_dir()
@@ -174,13 +177,25 @@ def m_sort_order_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             properties={"sort.order": "warc_ts"},
         )
         tbl.append(_read_fixture(spark, "cz_rev2", 3))
+        compact(tbl, target_file_bytes=512 * 1024)
         cutoff = datetime.datetime(2023, 12, 1)
-        pred = [Predicate("warc_ts", ">", cutoff)]
+        pred = [Predicate("warc_ts", "<", cutoff)]
         if not len(tbl.planned_files(pred)) < len(tbl.live_files()):
             raise AssertionError("sort.order append produced no file cut")
         return _pages_out(tbl.scan(pred)).localCheckpoint()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_SORT_ORDER = f"""
+SELECT {_PAGES_PROJ}
+FROM (
+  SELECT * FROM read_parquet('{fixture_path("cz_base")}')
+  UNION ALL
+  SELECT * FROM read_parquet('{fixture_path("cz_rev2")}')
+)
+WHERE warc_ts < TIMESTAMP '2023-12-01 00:00:00'
+"""
 
 
 def m_scd2_history_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,9 +989,7 @@ MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
     "m_partitioned_scan": (m_partitioned_scan, SQL_M_PARTITIONED_SCAN),
-    # sort.order appends land the same rows as compact+zorder's fixture
-    # slice — the Z-order oracle pins the identical-row-set invariant
-    "m_sort_order_scan": (m_sort_order_scan, SQL_M_COMPACT_ZORDER),
+    "m_sort_order_scan": (m_sort_order_scan, SQL_M_SORT_ORDER),
     "m_metadata_delete": (m_metadata_delete, SQL_M_METADATA_DELETE),
     "m_scd2_history_pages": (m_scd2_history_pages, SQL_M_SCD2_HISTORY),
     "m_snapshot_expire": (m_snapshot_expire, SQL_M_SNAPSHOT_EXPIRE),

@@ -95,3 +95,36 @@ def test_sort_order_ignores_unknown_columns(spark, tmp_path):
         properties={"sort.order": "no_such_col"},
     )
     assert tbl.scan().count() == 100
+
+
+def test_compaction_preserves_sort_order_pruning(spark, tmp_path):
+    """Sort-rewrite compaction: two overlapping-range appends (every file
+    narrow within its own batch, ranges overlapping ACROSS batches) pack
+    into RANGE-ADJACENT bins, so each compacted output covers a narrow
+    contiguous slice again and the ts-slice cut survives the rewrite.
+    (Plain FFD would interleave ranges and widen every output back out.)"""
+    from ecommerce_lakehouse_spark.maintenance import compact
+
+    df = _shuffled_pages(spark, n=600, seed=94)
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"), df,
+        properties={"sort.order": "warc_ts"},
+    )
+    tbl.append(_shuffled_pages(spark, n=600, seed=95))
+    before = tbl.scan().collect()
+    res = compact(tbl, target_file_bytes=256 * 1024)
+    live = tbl.live_files()
+    assert res is not None and len(live) > 1
+    spans = [
+        (f.stats["warc_ts"]["min"], f.stats["warc_ts"]["max"]) for f in live
+    ]
+    table_lo = min(lo for lo, _ in spans)
+    table_hi = max(hi for _, hi in spans)
+    # every compacted file covers a NARROW contiguous slice, not the
+    # whole range (boundary ties between range-adjacent bins are fine)
+    for lo, hi in spans:
+        assert (hi - lo) <= (table_hi - table_lo) * 0.6
+    pred = [Predicate("warc_ts", "<", _ts_cutoff(df))]
+    assert len(tbl.planned_files(pred)) < len(live)
+    after = tbl.scan().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
