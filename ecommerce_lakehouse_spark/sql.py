@@ -39,6 +39,9 @@ Grammar (case-insensitive keywords; one statement per call):
   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]   (DRY RUN previews: no mutation)
   DESCRIBE HISTORY|DETAIL <t>
   SHOW PARTITIONS|FILES|MANIFESTS <t>   (metadata DataFrames; no data read)
+  ANALYZE TABLE <t> COMPUTE STATISTICS [FOR COLUMNS c1[, ...]]
+         (per-column NDV — metadata-only from the key sketches where
+          available, one single-column counting scan otherwise)
   INSERT INTO <t> SELECT ...            (atomic append of the query result)
   CREATE TABLE <t> AS SELECT ...        (CTAS — schema from the query)
   CALL <proc>(<t>[, arg | name => arg ...])   (Iceberg-style procedures:
@@ -208,6 +211,7 @@ class IcehouseSQL:
             "SHOW": self._show,
             "CALL": self._call,
             "INSERT": self._insert,
+            "ANALYZE": self._analyze,
             "CREATE": self._create,
         }.get(head)
         if handler is None:
@@ -633,7 +637,24 @@ class IcehouseSQL:
         re.I,
     )
 
+    _ALTER_ORDER = re.compile(
+        r"^ALTER TABLE (?P<t>'[^']+'|[\w.]+) WRITE "
+        r"(?:ORDERED BY \((?P<cols>[^)]+)\)|(?P<un>UNORDERED))$",
+        re.I,
+    )
+
     def _alter(self, s: str):
+        m = self._ALTER_ORDER.match(s)
+        if m:
+            # Iceberg's WRITE ORDERED BY DDL → the sort.order property
+            # (format.py _stage_dataframe range-sorts staged appends on it)
+            table = self._table(m.group("t"))
+            val = None if m.group("un") else ",".join(
+                c.strip() for c in m.group("cols").split(",")
+            )
+            return DMLResult(
+                "alter-write-order", table.set_properties({"sort.order": val})
+            )
         m = self._ALTER_REF.match(s)
         if m:
             return self._alter_ref(m)
@@ -812,6 +833,56 @@ class IcehouseSQL:
         if m.group("what").upper() == "HISTORY":
             return table.history()
         return table.detail()
+
+    _ANALYZE = re.compile(
+        r"^ANALYZE TABLE (?P<t>'[^']+'|[\w.]+) COMPUTE STATISTICS"
+        r"(?: FOR COLUMNS (?P<cols>[\w ,]+))?$",
+        re.I,
+    )
+
+    def _analyze(self, s: str):
+        """Per-column NDV estimates. Sketched key columns (the
+        ``sketch.cols`` property) answer METADATA-ONLY via
+        ``approx_distinct_keys`` (bitmap-union of per-file sketches —
+        zero data read on a 100-TB table); anything else falls back to
+        ONE single-column counting scan, labeled so the caller can see
+        which price was paid. Without FOR COLUMNS, the sketched columns
+        are analyzed (refuses when there are none rather than silently
+        full-scanning every column)."""
+        m = self._ANALYZE.match(s)
+        if not m:
+            raise IcehouseSQLError(
+                "ANALYZE TABLE <t> COMPUTE STATISTICS [FOR COLUMNS c1[, ...]]"
+            )
+        table = self._table(m.group("t"))
+        if m.group("cols"):
+            cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+        else:
+            cols = [
+                c.strip()
+                for c in (table.properties().get("sketch.cols") or "").split(",")
+                if c.strip()
+            ]
+            if not cols:
+                raise IcehouseSQLError(
+                    "no sketched columns to analyze — pass FOR COLUMNS "
+                    "c1[, ...] or set the 'sketch.cols' table property"
+                )
+        known = {f.name for f in table.schema().fields}
+        bad = [c for c in cols if c not in known]
+        if bad:
+            raise IcehouseSQLError(f"unknown column(s): {', '.join(bad)}")
+        rows = []
+        for c in cols:
+            ndv = table.approx_distinct_keys(c)
+            method = "sketch"
+            if ndv is None:
+                ndv = table.scan(columns=[c]).distinct().count()
+                method = "scan"
+            rows.append((c, ndv, method))
+        return self.spark.createDataFrame(
+            rows, "column string, ndv long, method string"
+        )
 
     _SHOW = re.compile(
         r"^SHOW (?P<what>PARTITIONS|FILES|MANIFESTS) (?P<t>'[^']+'|[\w.]+)$",

@@ -381,3 +381,63 @@ def test_describe_detail_one_row_summary(spark, sqlx):
     assert r.num_snapshots == len(tbl.snapshots())
     with pytest.raises(IcehouseSQLError, match="DESCRIBE supports"):
         isql.sql(f"DESCRIBE SCHEMA '{tbl.path}'")
+
+
+# --------------------------------------------- ANALYZE / WRITE ORDERED BY
+
+
+def test_analyze_sketched_column_is_metadata_only(spark, tmp_path):
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 200, seed=74, partitions=2),
+        properties={"sketch.cols": "url"},
+    )
+    isql = IcehouseSQL(spark)
+    rows = {r.column: r for r in
+            isql.sql(f"ANALYZE TABLE '{tbl.path}' COMPUTE STATISTICS").collect()}
+    assert set(rows) == {"url"}
+    assert rows["url"].method == "sketch"
+    # linear-counting estimate: within 10% of the true 200 distinct urls
+    assert abs(rows["url"].ndv - 200) <= 20
+
+
+def test_analyze_for_columns_falls_back_to_scan(spark, tmp_path):
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 150, seed=75, partitions=2),
+    )
+    isql = IcehouseSQL(spark)
+    want = tbl.scan().select("lang").distinct().count()
+    rows = {r.column: r for r in isql.sql(
+        f"ANALYZE TABLE '{tbl.path}' COMPUTE STATISTICS FOR COLUMNS lang"
+    ).collect()}
+    assert rows["lang"].method == "scan" and rows["lang"].ndv == want
+    with pytest.raises(IcehouseSQLError, match="no sketched columns"):
+        isql.sql(f"ANALYZE TABLE '{tbl.path}' COMPUTE STATISTICS")
+    with pytest.raises(IcehouseSQLError, match="unknown column"):
+        isql.sql(
+            f"ANALYZE TABLE '{tbl.path}' COMPUTE STATISTICS FOR COLUMNS nope"
+        )
+
+
+def test_write_ordered_by_ddl_sets_sort_order(spark, tmp_path):
+    from ecommerce_lakehouse_spark.table import Predicate
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 200, seed=76, partitions=2).repartition(4, "url"),
+    )
+    isql = IcehouseSQL(spark)
+    isql.sql(f"ALTER TABLE '{tbl.path}' WRITE ORDERED BY (warc_ts)")
+    assert tbl.properties()["sort.order"] == "warc_ts"
+    extra = generate_pages(spark, 200, seed=77, partitions=2).repartition(4, "url")
+    from pyspark.sql import functions as F
+
+    extra = extra.withColumn("url", F.concat(F.lit("y://"), "url"))
+    tbl.append(extra)
+    lo, hi = extra.agg(F.min("warc_ts"), F.max("warc_ts")).first()
+    pred = [Predicate("warc_ts", "<", lo + (hi - lo) * 0.25)]
+    # the post-DDL append is range-sorted: the slice prunes its files
+    assert len(tbl.planned_files(pred)) < len(tbl.live_files())
+    isql.sql(f"ALTER TABLE '{tbl.path}' WRITE UNORDERED")
+    assert "sort.order" not in tbl.properties()
