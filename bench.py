@@ -343,6 +343,24 @@ def main() -> None:
         maint["partition_drop_files"] = psnap.summary["metadata_deleted_files"]
         maint["partition_drop_rows"] = psnap.summary["metadata_deleted_rows"]
         maint["partition_drop_dv_files"] = psnap.summary["delete_vectors_added"]
+
+        # ------------- sort-order segment (round 5) -------------------------
+        # range-sorted appends: disjoint per-file warc_ts bounds at write
+        # time, so a ts-slice prunes WITHOUT any Z-order/compaction rewrite
+        t0 = time.time()
+        stbl = IcehouseTable.create(
+            spark, f"{work}/pages_sorted",
+            generate_pages(spark, N_PAGES, seed=42, partitions=CPUS * 2)
+            .repartition(CPUS * 2, "url"),  # pre-shuffled: sort must earn it
+            properties={"sort.order": "warc_ts"},
+        )
+        maint["sort_order_build_sec"] = round(time.time() - t0, 3)
+        s_files = len(stbl.live_files())
+        maint["sort_order_files"] = s_files
+        maint["sort_order_scanned_ts_slice"] = len(stbl.planned_files(ts_pred))
+        maint["sort_order_prune_ratio"] = round(
+            1 - maint["sort_order_scanned_ts_slice"] / s_files, 3
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
