@@ -39,11 +39,17 @@ Grammar (case-insensitive keywords; one statement per call):
   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]   (DRY RUN previews: no mutation)
   DESCRIBE HISTORY|DETAIL <t>
   SHOW PARTITIONS|FILES|MANIFESTS <t>   (metadata DataFrames; no data read)
+  SHOW TBLPROPERTIES <t> [('key')]
+  TRUNCATE TABLE <t>     (metadata-only: drops every live file from the
+         manifest in one commit; history/tags survive, expiry reclaims)
   ANALYZE TABLE <t> COMPUTE STATISTICS [FOR COLUMNS c1[, ...]]
          (per-column NDV — metadata-only from the key sketches where
           available, one single-column counting scan otherwise)
   INSERT INTO <t> SELECT ...            (atomic append of the query result)
-  CREATE TABLE <t> AS SELECT ...        (CTAS — schema from the query)
+  CREATE [OR REPLACE] TABLE <t> AS SELECT ...   (CTAS — schema from the
+         query; OR REPLACE atomically overwrites an existing table)
+  REPLACE TABLE <t> AS SELECT ...       (RTAS — table must exist; one
+         atomic overwrite snapshot, history/tags/properties survive)
   CALL <proc>(<t>[, arg | name => arg ...])   (Iceberg-style procedures:
         expire_snapshots, remove_orphan_files, rollback_to_snapshot,
         rollback_to_timestamp, cherry_pick_snapshot, fast_forward,
@@ -213,6 +219,8 @@ class IcehouseSQL:
             "INSERT": self._insert,
             "ANALYZE": self._analyze,
             "CREATE": self._create,
+            "REPLACE": self._create,
+            "TRUNCATE": self._truncate,
         }.get(head)
         if handler is None:
             raise IcehouseSQLError(f"unsupported statement: {head}")
@@ -379,7 +387,8 @@ class IcehouseSQL:
         re.I,
     )
     _CTAS = re.compile(
-        r"^CREATE TABLE (?P<t>'[^']+'|[\w.]+) AS (?P<q>(?:SELECT|WITH) .+)$",
+        r"^(?:CREATE(?P<orr> OR REPLACE)?|(?P<repl>REPLACE)) TABLE "
+        r"(?P<t>'[^']+'|[\w.]+) AS (?P<q>(?:SELECT|WITH) .+)$",
         re.I,
     )
 
@@ -399,17 +408,53 @@ class IcehouseSQL:
         return DMLResult("insert", table.append(df))
 
     def _create(self, s: str):
-        """CREATE TABLE <t> AS SELECT ... (CTAS): materialize the query as
-        a brand-new Icehouse table at the path (or catalog name)."""
+        """CREATE [OR REPLACE] TABLE <t> AS SELECT ... (CTAS/RTAS):
+        materialize the query as a brand-new Icehouse table, or — with OR
+        REPLACE / REPLACE TABLE — as ONE atomic overwrite snapshot of an
+        existing one (history, tags, and properties survive; readers see
+        either the old row set or the new, never a mix). REPLACE TABLE
+        requires the table to exist; CREATE TABLE requires it not to."""
         m = self._CTAS.match(s)
         if not m:
             raise IcehouseSQLError(
-                "CREATE supports: CREATE TABLE <t> AS SELECT ... "
+                "CREATE/REPLACE supports: CREATE [OR REPLACE] TABLE <t> "
+                "AS SELECT ... or REPLACE TABLE <t> AS SELECT ... "
                 "(schemas come from the query; column DDL lives in "
                 "ALTER TABLE)"
             )
         df = self.spark.sql(self._rewrite_time_travel(m.group("q")))
         ref = m.group("t").strip()
+        replace_ok = bool(m.group("orr") or m.group("repl"))
+        must_exist = bool(m.group("repl"))
+        existing = None
+        if ref.startswith("'") and ref.endswith("'"):
+            cand = IcehouseTable(self.spark, ref[1:-1])
+            existing = cand if cand.exists() else None
+        elif self.catalog is not None and ref in self.catalog.table_names():
+            existing = self.catalog.table(ref)
+        if existing is not None:
+            if not replace_ok:
+                raise IcehouseSQLError(
+                    f"CREATE TABLE {ref!r}: table exists — use CREATE OR "
+                    f"REPLACE / REPLACE TABLE to overwrite atomically"
+                )
+            # one atomic commit: swap every live file AND install the
+            # query's schema. History/tags/properties survive; time travel
+            # to pre-replace snapshots resolves columns by name against the
+            # old files (so a replace that keeps column names+types reads
+            # history cleanly; an incompatible one surfaces at read time,
+            # never silently).
+            snap = existing.replace_files(
+                [f.path for f in existing.live_files()], df,
+                operation="overwrite",
+                schema_json=df.schema.jsonValue(),
+            )
+            return DMLResult("replace-table-as", snap)
+        if must_exist:
+            raise IcehouseSQLError(
+                f"REPLACE TABLE {ref!r}: no such table — use CREATE TABLE "
+                f"(or CREATE OR REPLACE) to create it"
+            )
         if ref.startswith("'") and ref.endswith("'"):
             tbl = IcehouseTable.create(self.spark, ref[1:-1], df)
         elif self.catalog is not None:
@@ -420,6 +465,22 @@ class IcehouseSQL:
                 f"Catalog for name resolution"
             )
         return DMLResult("create-table-as", tbl)
+
+    _TRUNCATE = re.compile(
+        r"^TRUNCATE TABLE (?P<t>'[^']+'|[\w.]+)$", re.I
+    )
+
+    def _truncate(self, s: str):
+        """TRUNCATE TABLE <t> — drop every live row in one metadata-only
+        commit (no data read/written; history and tags survive; see
+        :func:`~.table.deletes.truncate`). The explicit keyword replaces
+        the unqualified DELETE FROM this grammar deliberately refuses."""
+        from .table.deletes import truncate
+
+        m = self._TRUNCATE.match(s)
+        if not m:
+            raise IcehouseSQLError("TRUNCATE must be: TRUNCATE TABLE <t>")
+        return DMLResult("truncate", truncate(self._table(m.group("t"))))
 
     # --------------------------------------------------------------- MERGE
 
@@ -885,19 +946,35 @@ class IcehouseSQL:
         )
 
     _SHOW = re.compile(
-        r"^SHOW (?P<what>PARTITIONS|FILES|MANIFESTS) (?P<t>'[^']+'|[\w.]+)$",
+        r"^SHOW (?P<what>PARTITIONS|FILES|MANIFESTS|TBLPROPERTIES) "
+        r"(?P<t>'[^']+'|[\w.]+)(?:\s*\(\s*'(?P<key>[^']+)'\s*\))?$",
         re.I,
     )
 
     def _show(self, s: str):
         """SHOW PARTITIONS/FILES/MANIFESTS <t> → the metadata DataFrames
         (partitions() rollup by transform tuple + bucket; files();
-        manifests()) — metadata-sized, never a data read."""
+        manifests()); SHOW TBLPROPERTIES <t> [('key')] → key/value rows —
+        all metadata-sized, never a data read."""
         m = self._SHOW.match(s)
         if not m:
             raise IcehouseSQLError(
-                "SHOW supports: SHOW PARTITIONS|FILES|MANIFESTS <t>"
+                "SHOW supports: SHOW PARTITIONS|FILES|MANIFESTS|"
+                "TBLPROPERTIES <t> [('key')]"
             )
         table = self._table(m.group("t"))
         what = m.group("what").lower()
+        if what == "tblproperties":
+            props = table.properties()
+            if m.group("key") is not None:
+                k = m.group("key")
+                props = {k: props[k]} if k in props else {}
+            return self.spark.createDataFrame(
+                [(k, str(v)) for k, v in sorted(props.items())],
+                "key string, value string",
+            )
+        if m.group("key") is not None:
+            raise IcehouseSQLError(
+                "('key') selector is only valid with SHOW TBLPROPERTIES"
+            )
         return getattr(table, what)()

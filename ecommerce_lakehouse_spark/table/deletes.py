@@ -236,3 +236,44 @@ def delete_where(
         delete_manifest=dm,
         base_delete_manifest=snap.delete_manifest,
     )
+
+
+def truncate(table: IcehouseTable) -> Snapshot | None:
+    """TRUNCATE TABLE: drop every live row in ONE metadata-only commit.
+
+    No data file is read or written — the commit removes all live files
+    from the manifest and clears the delete registry, so the cost is
+    O(metadata) at any table size. History is untouched: time travel to
+    pre-truncate snapshots still works, tags keep pinning their row sets,
+    and ``expire_snapshots`` reclaims the bytes later on the normal
+    schedule. The snapshot is a ``delete-rows`` operation, so the CDC feed
+    emits a delete for every live row (the diff reads the parent side only
+    — unavoidable for a row-level feed) and the non-CDC incremental scan
+    refuses the range, exactly like any other row-set-changing commit.
+
+    Returns the new snapshot, or None when the table is already empty.
+    """
+    snap = table.current_snapshot()
+    if snap is None:
+        return None
+    live = table.live_files(snap)
+    if not live:
+        return None
+    full = table.delete_registry_full(snap)
+    # nominal live rows dropped (eq-covered rows not subtracted — same
+    # accounting as delete_where's metadata path, for the same reason)
+    dropped_rows = sum(
+        f.row_count - full["entries"].get(f.path, {}).get("rows", 0)
+        for f in live
+    )
+    return table._commit(
+        "delete-rows", [], {f.path for f in live},
+        extra_summary={
+            "deleted_rows": dropped_rows,
+            "metadata_deleted_files": len(live),
+            "metadata_deleted_rows": dropped_rows,
+            "truncate": True,
+        },
+        delete_manifest=table._write_delete_registry({}, []),
+        base_delete_manifest=snap.delete_manifest,
+    )

@@ -155,7 +155,7 @@ def test_sql_select_passthrough_and_catalog_names(spark, tmp_path):
 def test_sql_rejects_out_of_grammar(spark, sql_table):
     tbl, isql = sql_table
     with pytest.raises(IcehouseSQLError, match="unsupported statement"):
-        isql.sql(f"TRUNCATE TABLE '{tbl.path}'")
+        isql.sql(f"DROP TABLE '{tbl.path}'")
     with pytest.raises(IcehouseSQLError, match="WHERE"):
         isql.sql(f"DELETE FROM '{tbl.path}' WHERE url LIKE 'x%'")
     with pytest.raises(IcehouseSQLError, match="share a name"):
@@ -167,3 +167,80 @@ def test_sql_rejects_out_of_grammar(spark, sql_table):
         parse_predicates("lang != 'en'")
     with pytest.raises(IcehouseSQLError, match="primary.key"):
         isql.sql(f"UPDATE '{tbl.path}' SET lang = 'xx' WHERE lang = 'en'")
+
+
+def test_truncate_table_is_metadata_only_and_history_survives(spark, sql_table):
+    tbl, isql = sql_table
+    before = tbl.current_snapshot()
+    n_before = tbl.scan().count()
+    assert n_before == 200
+    res = isql.sql(f"TRUNCATE TABLE '{tbl.path}'")
+    assert res.statement == "truncate"
+    snap = res.detail
+    # metadata-only: nothing read or written, all live files dropped
+    assert snap.summary["truncate"] is True
+    assert snap.summary["metadata_deleted_rows"] == n_before
+    assert snap.summary["deleted_rows"] == n_before
+    assert tbl.scan().count() == 0
+    assert tbl.row_count() == 0
+    # history survives: time travel to the pre-truncate snapshot
+    assert tbl.scan(snapshot_id=before.snapshot_id).count() == n_before
+    # idempotent: truncating an empty table is a no-op (no new snapshot)
+    assert isql.sql(f"TRUNCATE TABLE '{tbl.path}'").detail is None
+    # table stays writable after truncate
+    tbl.append(generate_pages(spark, 10, seed=7, partitions=1))
+    assert tbl.scan().count() == 10
+
+
+def test_truncate_emits_cdc_deletes_for_every_row(spark, sql_table):
+    tbl, isql = sql_table
+    frm = tbl.current_snapshot().snapshot_id
+    isql.sql(f"TRUNCATE TABLE '{tbl.path}'")
+    feed = tbl.changes(from_snapshot_id=frm, cdc=True, key_cols=["url"])
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_type == {"delete": 200}
+
+
+def test_replace_table_as_select_is_atomic_overwrite(spark, sql_table, tmp_path):
+    tbl, isql = sql_table
+    tbl.create_tag("pre-replace")
+    old_version = tbl.current_snapshot().snapshot_id
+    tbl.scan().createOrReplaceTempView("pages_v")
+    res = isql.sql(
+        f"REPLACE TABLE '{tbl.path}' AS "
+        f"SELECT url, warc_ts FROM pages_v WHERE lang = 'en'"
+    )
+    assert res.statement == "replace-table-as"
+    # new schema comes from the query; history and tags survive
+    assert set(tbl.schema().fieldNames()) == {"url", "warc_ts"}
+    assert tbl.scan(snapshot_id="pre-replace").count() == 200
+    assert tbl.scan(snapshot_id=old_version).count() == 200
+    # CREATE TABLE refuses to clobber; CREATE OR REPLACE overwrites
+    with pytest.raises(IcehouseSQLError, match="exists"):
+        isql.sql(f"CREATE TABLE '{tbl.path}' AS SELECT * FROM pages_v")
+    isql.sql(
+        f"CREATE OR REPLACE TABLE '{tbl.path}' AS "
+        f"SELECT url FROM pages_v LIMIT 5"
+    )
+    assert tbl.scan().count() == 5
+    # REPLACE TABLE on a missing table refuses (RTAS requires existence)
+    with pytest.raises(IcehouseSQLError, match="no such table"):
+        isql.sql(
+            f"REPLACE TABLE '{tmp_path / 'missing'}' AS SELECT * FROM pages_v"
+        )
+
+
+def test_show_tblproperties(spark, sql_table):
+    tbl, isql = sql_table
+    tbl.set_properties({"sort.order": "warc_ts", "bloom.cols": "url"})
+    rows = {r["key"]: r["value"] for r in isql.sql(
+        f"SHOW TBLPROPERTIES '{tbl.path}'").collect()}
+    assert rows["sort.order"] == "warc_ts"
+    assert rows["bloom.cols"] == "url"
+    one = isql.sql(f"SHOW TBLPROPERTIES '{tbl.path}' ('sort.order')").collect()
+    assert [(r["key"], r["value"]) for r in one] == [("sort.order", "warc_ts")]
+    with pytest.raises(IcehouseSQLError, match="TBLPROPERTIES"):
+        isql.sql(f"SHOW FILES '{tbl.path}' ('sort.order')")
