@@ -985,6 +985,68 @@ FROM read_parquet('{fixture_path("merge_base")}')
 """
 
 
+def m_truncate_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTAS + TRUNCATE + time-travel restore, all through the SQL front
+    end. REPLACE TABLE installs the base fixture's English slice (a new,
+    narrower schema) as one atomic overwrite; TRUNCATE drops every live
+    file in one metadata-only commit (zero bytes moved); INSERT INTO ...
+    SELECT ... FOR VERSION AS OF restores the pre-truncate snapshot from
+    history; a plain append then lands the deduped recrawl delta. The
+    oracle states the expected final multiset relationally: the English
+    base slice UNION ALL the latest-wins delta — a truncate that leaves a
+    row behind, an RTAS that mis-filters, or a restore that reads the
+    wrong snapshot each breaks the value hash."""
+    from .operators.merge import dedup_latest
+    from .sql import IcehouseSQL
+    from .table import IcehouseTable
+
+    d = _fresh_dir()
+    try:
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", _read_fixture(spark, "merge_base", 4)
+        )
+        isql = IcehouseSQL(spark)
+        tbl.scan().createOrReplaceTempView("m_truncate_src_v")
+        isql.sql(
+            f"REPLACE TABLE '{tbl.path}' AS "
+            f"SELECT url, warc_ts, text, lang FROM m_truncate_src_v "
+            f"WHERE lang = 'en'"
+        )
+        pre = tbl.current_snapshot().snapshot_id
+        isql.sql(f"TRUNCATE TABLE '{tbl.path}'")
+        if tbl.row_count() != 0:  # metadata-only count; guards the oracle
+            raise AssertionError("TRUNCATE left live rows")
+        isql.sql(
+            f"INSERT INTO '{tbl.path}' "
+            f"SELECT * FROM '{tbl.path}' FOR VERSION AS OF {pre}"
+        )
+        tbl.append(
+            dedup_latest(
+                _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+            ).select("url", "warc_ts", "text", "lang")
+        )
+        return _pages_out(tbl.scan()).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_TRUNCATE_RESTORE = f"""
+WITH en AS (
+  SELECT url, warc_ts, text, lang
+  FROM read_parquet('{fixture_path("merge_base")}')
+  WHERE lang = 'en'
+),
+d AS (
+  SELECT url, warc_ts, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM read_parquet('{fixture_path("merge_delta")}')
+  ) WHERE rn = 1
+),
+u AS (SELECT * FROM en UNION ALL SELECT * FROM d)
+SELECT {_PAGES_PROJ} FROM u
+"""
+
+
 MAINTENANCE_REGISTRY: dict = {
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
@@ -1007,6 +1069,7 @@ MAINTENANCE_REGISTRY: dict = {
     "m_sql_merge": (m_sql_merge, SQL_M_MERGE_SCD1),
     "m_sql_time_travel": (m_sql_time_travel, SQL_M_BASE_ONLY),
     "m_sql_rollback": (m_sql_rollback, SQL_M_BASE_ONLY),
+    "m_truncate_restore": (m_truncate_restore, SQL_M_TRUNCATE_RESTORE),
     "m_catalog_txn": (m_catalog_txn, SQL_M_CATALOG_TXN),
     "m_rename_merge_scan": (m_rename_merge_scan, SQL_M_MERGE_SCD1),
     "m_defaults_merge_scan": (m_defaults_merge_scan, SQL_M_DEFAULTS_MERGE),
