@@ -42,6 +42,8 @@ Grammar (case-insensitive keywords; one statement per call):
   SHOW TBLPROPERTIES <t> [('key')]
   TRUNCATE TABLE <t>     (metadata-only: drops every live file from the
          manifest in one commit; history/tags survive, expiry reclaims)
+  DROP TABLE <name> [PURGE]   (catalog names only: unregister in one
+         catalog CAS; PURGE also deletes the table directory)
   ANALYZE TABLE <t> COMPUTE STATISTICS [FOR COLUMNS c1[, ...]]
          (per-column NDV — metadata-only from the key sketches where
           available, one single-column counting scan otherwise)
@@ -221,6 +223,7 @@ class IcehouseSQL:
             "CREATE": self._create,
             "REPLACE": self._create,
             "TRUNCATE": self._truncate,
+            "DROP": self._drop,
         }.get(head)
         if handler is None:
             raise IcehouseSQLError(f"unsupported statement: {head}")
@@ -465,6 +468,30 @@ class IcehouseSQL:
                 f"Catalog for name resolution"
             )
         return DMLResult("create-table-as", tbl)
+
+    _DROP = re.compile(
+        r"^DROP TABLE (?P<t>[\w.]+)(?P<purge> PURGE)?$", re.I
+    )
+
+    def _drop(self, s: str):
+        """DROP TABLE <name> [PURGE] — catalog names only: dropping
+        unregisters the table (one catalog CAS); PURGE additionally
+        deletes the table directory. A quoted path has no catalog entry
+        to drop — deleting a bare directory through SQL would be rm -rf
+        in disguise, so it is refused."""
+        m = self._DROP.match(s)
+        if not m:
+            raise IcehouseSQLError(
+                "DROP supports: DROP TABLE <catalog-name> [PURGE] "
+                "(quoted paths are not droppable through SQL)"
+            )
+        if self.catalog is None:
+            raise IcehouseSQLError(
+                "DROP TABLE needs an attached Catalog for name resolution"
+            )
+        name = m.group("t").strip()
+        self.catalog.drop_table(name, purge=m.group("purge") is not None)
+        return DMLResult("drop-table", name)
 
     _TRUNCATE = re.compile(
         r"^TRUNCATE TABLE (?P<t>'[^']+'|[\w.]+)$", re.I

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -141,6 +142,34 @@ class Catalog:
         tbl = IcehouseTable.create(self.spark, path, df, **create_kwargs)
         self.register_table(name, tbl)
         return tbl
+
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        """Unregister a table from the catalog (one CAS commit). The
+        table's files stay on disk by default — an external path registered
+        with :meth:`register_table` is never deleted implicitly;
+        ``purge=True`` additionally removes the table directory (Iceberg's
+        ``DROP TABLE ... PURGE``). Refuses while a pending transaction
+        still references the table — :meth:`recover` needs it to finish
+        phase 2."""
+        path_holder: dict = {}
+
+        def mutate(md: dict) -> dict:
+            entry = md["tables"].get(name)
+            if entry is None:
+                raise CommitConflict(f"unknown table {name!r}")
+            for txn_id, record in md["pending"].items():
+                if name in record["tables"]:
+                    raise CommitConflict(
+                        f"table {name!r} is referenced by pending "
+                        f"transaction {txn_id} — run recover() first"
+                    )
+            path_holder["path"] = entry["path"]
+            del md["tables"][name]
+            return md
+
+        self._cas(mutate)
+        if purge:
+            shutil.rmtree(path_holder["path"], ignore_errors=True)
 
     def register_table(self, name: str, tbl: IcehouseTable) -> None:
         """Register an existing table; the pin starts at its current

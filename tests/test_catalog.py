@@ -190,3 +190,45 @@ def test_catalog_expire_protects_lagging_pin(spark, catalog):
     assert pin not in res.expired_snapshots
     assert catalog.read("pages").count() == 200  # pin still fully readable
     assert tbl.scan().count() == 250
+
+
+def test_drop_table_unregisters_and_purge_deletes(spark, tmp_path):
+    import os
+
+    from ecommerce_lakehouse_spark.sql import IcehouseSQL, IcehouseSQLError
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    a = cat.create_table("keep_data", generate_pages(spark, 30, seed=5, partitions=1))
+    b = cat.create_table("purge_me", generate_pages(spark, 30, seed=6, partitions=1))
+    isql = IcehouseSQL(spark, catalog=cat)
+
+    # default drop: unregister only — the directory survives
+    isql.sql("DROP TABLE keep_data")
+    assert "keep_data" not in cat.table_names()
+    assert os.path.isdir(a.path)
+    # PURGE: the directory goes too
+    res = isql.sql("DROP TABLE purge_me PURGE")
+    assert res.statement == "drop-table"
+    assert "purge_me" not in cat.table_names()
+    assert not os.path.exists(b.path)
+    # unknown name refuses; quoted paths refuse through SQL
+    with pytest.raises(CommitConflict, match="unknown table"):
+        cat.drop_table("purge_me")
+    with pytest.raises(IcehouseSQLError, match="not droppable"):
+        isql.sql(f"DROP TABLE '{a.path}'")
+
+
+def test_drop_table_refused_while_pending_txn_references_it(
+    spark, catalog, monkeypatch
+):
+    monkeypatch.setattr(Catalog, "_publish_txn", lambda self, *a: None)
+    with catalog.transaction() as txn:
+        txn.append("pages", _delta(spark, 30, 53))
+    monkeypatch.undo()
+    assert len(catalog.pending_transactions()) == 1
+    with pytest.raises(CommitConflict, match="pending"):
+        catalog.drop_table("pages")
+    # recovery publishes phase 2, then the drop goes through
+    catalog.recover()
+    catalog.drop_table("pages")
+    assert "pages" not in catalog.table_names()

@@ -155,6 +155,8 @@ def test_sql_select_passthrough_and_catalog_names(spark, tmp_path):
 def test_sql_rejects_out_of_grammar(spark, sql_table):
     tbl, isql = sql_table
     with pytest.raises(IcehouseSQLError, match="unsupported statement"):
+        isql.sql(f"GRANT SELECT ON '{tbl.path}' TO analyst")
+    with pytest.raises(IcehouseSQLError, match="not droppable"):
         isql.sql(f"DROP TABLE '{tbl.path}'")
     with pytest.raises(IcehouseSQLError, match="WHERE"):
         isql.sql(f"DELETE FROM '{tbl.path}' WHERE url LIKE 'x%'")
