@@ -55,7 +55,7 @@ Grammar (case-insensitive keywords; one statement per call):
   CALL <proc>(<t>[, arg | name => arg ...])   (Iceberg-style procedures:
         expire_snapshots, remove_orphan_files, rollback_to_snapshot,
         rollback_to_timestamp, cherry_pick_snapshot, fast_forward,
-        rewrite_manifests)
+        rewrite_manifests, add_files)
   SELECT / WITH ...  → spark.sql passthrough; any FROM item may carry
         time travel: <t> FOR VERSION AS OF <snapshot_id|'tag'|'branch'>
         or <t> FOR TIMESTAMP AS OF TIMESTAMP '<iso>' — the clause is
@@ -376,6 +376,15 @@ class IcehouseSQL:
 
     def _proc_fast_forward(self, table, branch):
         return table.fast_forward(branch)
+
+    def _proc_add_files(self, table, source, mode="hardlink"):
+        """CALL add_files('<table>', '<dir-or-file>' [, mode => 'copy']) —
+        register existing parquet without rewriting bytes (migration)."""
+        if not isinstance(source, str):
+            raise IcehouseSQLError(
+                f"add_files source must be a quoted path, got {source!r}"
+            )
+        return table.add_files(source, mode=mode)
 
     def _proc_rewrite_manifests(self, table, target_entries=None):
         from .maintenance import rewrite_manifests

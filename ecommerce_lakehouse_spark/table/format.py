@@ -30,6 +30,7 @@ is the sandbox stand-in.
 from __future__ import annotations
 
 import datetime
+import glob
 import json
 import os
 import shutil
@@ -1450,6 +1451,95 @@ class IcehouseTable:
             txn=txn,
             publish=publish,
             ref=branch,
+        )
+
+    def add_files(self, src, stats_cols: list[str] | None = None,
+                  mode: str = "hardlink") -> Snapshot | None:
+        """Register EXISTING parquet files as one append snapshot WITHOUT
+        rewriting their bytes — Iceberg's ``add_files`` migration
+        procedure. This is what lets a 100-TB directory of plain parquet
+        adopt the table format at O(metadata) cost: per file the only work
+        is a footer-stats read (:func:`~.stats.collect_stats`, distributed
+        over executors) and a hardlink into the table's data dir
+        (``mode="copy"`` opts into a byte copy for cross-filesystem
+        imports; a failed hardlink falls back to copy automatically).
+
+        ``src`` is a directory (every ``*.parquet`` under it, recursively)
+        or an explicit list of file paths. The files must read back as
+        exactly the table's columns and types — widen the table first
+        (``widen_column``/``add_column``) if they don't. The table ADOPTS
+        hardlinked files: treat the source as immutable afterwards.
+
+        Imported files carry footer min/max stats (so predicate pruning
+        works immediately) but no key sketches, bucket tags, or
+        partition-transform tags — every consumer treats an untagged file
+        conservatively (merge discovery keeps it as a candidate, tuple
+        isolation gives it its own group), and the next compaction or
+        clustering rewrite re-tags it under the table's current specs.
+
+        Returns the append snapshot, or None when ``src`` has no files.
+        """
+        if isinstance(src, str):
+            if os.path.isdir(src):
+                paths = sorted(
+                    glob.glob(os.path.join(src, "**", "*.parquet"),
+                              recursive=True)
+                )
+            else:
+                paths = [src]
+        else:
+            paths = [os.path.abspath(p) for p in src]
+        if not paths:
+            return None
+        if mode not in ("hardlink", "copy"):
+            raise ValueError(f"add_files mode must be hardlink|copy, "
+                             f"got {mode!r}")
+        incoming = {
+            f.name: f.dataType
+            for f in self.spark.read.parquet(*paths).schema.fields
+        }
+        want = {f.name: f.dataType for f in self.schema().fields}
+        if incoming != want:
+            raise ValueError(
+                f"add_files: file schema {sorted(incoming.items(), key=str)} "
+                f"does not match table schema {sorted(want.items(), key=str)}"
+                f" — evolve the table (add_column/widen_column) or rewrite "
+                f"the files first"
+            )
+        snapshot_id = self.current_version() + 1
+        os.makedirs(self.data_dir, exist_ok=True)
+        moved: list[str] = []
+        for p in paths:
+            final = os.path.join(
+                self.data_dir,
+                f"{snapshot_id:08d}-{uuid.uuid4().hex[:12]}-"
+                f"{os.path.basename(p)}",
+            )
+            if mode == "hardlink":
+                try:
+                    os.link(p, final)
+                except OSError:
+                    shutil.copy2(p, final)
+            else:
+                shutil.copy2(p, final)
+            moved.append(final)
+        if stats_cols is None:
+            stats_cols = self._default_stats_cols(self.schema())
+        added = [
+            DataFile(
+                os.path.relpath(c["path"], self.path),
+                c["row_count"], c["size_bytes"], c["stats"],
+                added_by=snapshot_id,
+            )
+            for c in stats_mod.collect_stats(self.spark, moved, stats_cols)
+        ]
+        return self._commit(
+            "append", added, set(),
+            extra_summary={
+                "imported_files": len(added),
+                "imported_rows": sum(f.row_count for f in added),
+                "import_mode": mode,
+            },
         )
 
     def publish_snapshot(self, snapshot_id: int) -> Snapshot:

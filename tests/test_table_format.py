@@ -413,3 +413,78 @@ def test_expire_sweeps_consumed_staged_snapshots(spark, pages_table):
     with pytest.raises(ValueError, match="unknown snapshot"):
         pages_table.scan(snapshot_id=staged.snapshot_id)
     assert pages_table.scan().count() == n
+
+
+def test_add_files_imports_without_rewrite(spark, tmp_path):
+    """add_files registers existing parquet as one append: same inode
+    (hardlink, zero bytes moved), footer stats present so pruning works,
+    and the rows are scan-identical to reading the source directly."""
+    import os
+
+    from ecommerce_lakehouse_spark.datagen import generate_pages
+    from ecommerce_lakehouse_spark.table import IcehouseTable
+
+    src = str(tmp_path / "plain_parquet")
+    generate_pages(spark, 400, seed=11, partitions=3).write.parquet(src)
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 50, seed=12, partitions=1),
+    )
+    snap = tbl.add_files(src)
+    assert snap.summary["imported_files"] == 3
+    assert snap.summary["imported_rows"] == 400
+    assert tbl.row_count() == 450
+    # zero-copy: the imported files are hardlinks of the source files
+    imported = [
+        f for f in tbl.live_files() if f.added_by == snap.snapshot_id
+    ]
+    src_inodes = {
+        os.stat(os.path.join(src, n)).st_ino
+        for n in os.listdir(src) if n.endswith(".parquet")
+    }
+    for f in imported:
+        assert os.stat(os.path.join(tbl.path, f.path)).st_ino in src_inodes
+        # footer stats landed (pruning works immediately)
+        assert f.stats["warc_ts"]["min"] is not None
+    # value identity: the table is now the multiset union of the base
+    # rows and the imported source (plain append semantics)
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(src)
+        .unionByName(tbl.scan(snapshot_id=tbl.snapshots()[0].snapshot_id))
+        .select("url", "warc_ts", "text").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in tbl.scan().select("url", "warc_ts", "text").collect()
+    )
+    assert got == want
+
+
+def test_add_files_schema_gate_and_call_procedure(spark, tmp_path):
+    from ecommerce_lakehouse_spark.datagen import generate_pages
+    from ecommerce_lakehouse_spark.sql import IcehouseSQL
+    from ecommerce_lakehouse_spark.table import IcehouseTable
+
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "t"),
+        generate_pages(spark, 50, seed=12, partitions=1),
+    )
+    # schema mismatch refuses (extra/missing columns)
+    bad = str(tmp_path / "bad")
+    generate_pages(spark, 10, seed=13, partitions=1).drop("html").write.parquet(bad)
+    with pytest.raises(ValueError, match="does not match table schema"):
+        tbl.add_files(bad)
+    # empty source is a no-op
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert tbl.add_files(str(empty)) is None
+    # CALL surface, copy mode
+    src = str(tmp_path / "src")
+    generate_pages(spark, 60, seed=14, partitions=2).write.parquet(src)
+    isql = IcehouseSQL(spark)
+    res = isql.sql(
+        f"CALL add_files('{tbl.path}', '{src}', mode => 'copy')"
+    )
+    assert res.detail.summary["imported_rows"] == 60
+    assert res.detail.summary["import_mode"] == "copy"
+    assert tbl.row_count() == 110
