@@ -37,7 +37,9 @@ Grammar (case-insensitive keywords; one statement per call):
         (WHERE scopes the rewrite plan to files whose stats might match —
          whole-file rewrites, never row filtering)
   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]   (DRY RUN previews: no mutation)
+  DESCRIBE [TABLE] <t>        (column listing: name, type, nullable)
   DESCRIBE HISTORY|DETAIL <t>
+  SHOW TABLES                  (catalog listing: name, path, pinned snapshot)
   SHOW PARTITIONS|FILES|MANIFESTS <t>   (metadata DataFrames; no data read)
   SHOW TBLPROPERTIES <t> [('key')]
   TRUNCATE TABLE <t>     (metadata-only: drops every live file from the
@@ -208,6 +210,16 @@ class IcehouseSQL:
         head = s.split(" ", 1)[0].upper()
         if head in ("SELECT", "WITH"):
             return self.spark.sql(self._rewrite_time_travel(s))
+        if s.upper() == "SHOW TABLES":
+            if self.catalog is None:
+                raise IcehouseSQLError(
+                    "SHOW TABLES needs an attached Catalog"
+                )
+            md = self.catalog.load_metadata()["tables"]
+            return self.spark.createDataFrame(
+                [(n, e["path"], e["snapshot"]) for n, e in sorted(md.items())],
+                "name string, path string, pinned_snapshot long",
+            )
         handler = {
             "MERGE": self._merge,
             "DELETE": self._delete,
@@ -917,19 +929,29 @@ class IcehouseSQL:
         )
 
     _DESCRIBE = re.compile(
-        r"^DESCRIBE (?P<what>HISTORY|DETAIL) (?P<t>'[^']+'|[\w.]+)$", re.I
+        r"^DESCRIBE (?:(?P<what>HISTORY|DETAIL|TABLE) )?(?P<t>'[^']+'|[\w.]+)$",
+        re.I,
     )
 
     def _describe(self, s: str):
         m = self._DESCRIBE.match(s)
         if not m:
             raise IcehouseSQLError(
-                "DESCRIBE supports: DESCRIBE HISTORY|DETAIL <t>"
+                "DESCRIBE supports: DESCRIBE [HISTORY|DETAIL|TABLE] <t>"
             )
         table = self._table(m.group("t"))
-        if m.group("what").upper() == "HISTORY":
+        what = (m.group("what") or "TABLE").upper()
+        if what == "HISTORY":
             return table.history()
-        return table.detail()
+        if what == "DETAIL":
+            return table.detail()
+        # DESCRIBE [TABLE] <t>: the column listing (metadata-only)
+        return self.spark.createDataFrame(
+            [(f.name, f.dataType.simpleString(),
+              "true" if f.nullable else "false")
+             for f in table.schema().fields],
+            "col_name string, data_type string, nullable string",
+        )
 
     _ANALYZE = re.compile(
         r"^ANALYZE TABLE (?P<t>'[^']+'|[\w.]+) COMPUTE STATISTICS"

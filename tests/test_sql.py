@@ -246,3 +246,24 @@ def test_show_tblproperties(spark, sql_table):
     assert [(r["key"], r["value"]) for r in one] == [("sort.order", "warc_ts")]
     with pytest.raises(IcehouseSQLError, match="TBLPROPERTIES"):
         isql.sql(f"SHOW FILES '{tbl.path}' ('sort.order')")
+
+
+def test_describe_table_and_show_tables(spark, sql_table, tmp_path):
+    from ecommerce_lakehouse_spark.table.catalog import Catalog
+
+    tbl, isql = sql_table
+    cols = {r["col_name"]: (r["data_type"], r["nullable"])
+            for r in isql.sql(f"DESCRIBE '{tbl.path}'").collect()}
+    assert cols["url"][0] == "string"
+    assert cols["warc_ts"][0] == "timestamp_ntz"
+    assert cols["html"][0] == "binary"
+    assert isql.sql(f"DESCRIBE TABLE '{tbl.path}'").count() == len(
+        tbl.schema().fields
+    )
+    # SHOW TABLES needs a catalog
+    with pytest.raises(IcehouseSQLError, match="Catalog"):
+        isql.sql("SHOW TABLES")
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.register_table("pages", tbl)
+    rows = IcehouseSQL(spark, catalog=cat).sql("SHOW TABLES").collect()
+    assert [(r["name"], r["path"]) for r in rows] == [("pages", tbl.path)]
