@@ -730,6 +730,64 @@ SELECT {_PAGES_PROJ}, 'audit' AS src FROM audit_final
 """
 
 
+def m_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-persisted SQL view over a merged table (table/catalog.py
+    create_view + sql.py CREATE VIEW): the pages table takes the SCD1
+    merge, the catalog pin advances, and a VIEW defined as the per-lang
+    rollup is read back through the SQL front end — which must resolve
+    the view's dependency closure against the PINNED snapshot. The oracle
+    states the same rollup over the relational merge result, so a stale
+    pin, a view resolving main instead of the pin, or a broken closure
+    registration all fail the value hash, not just a count. Reference
+    anchor: gold-layer derivations as declarative views instead of
+    per-run rewrites (reference/src/gold/master_gold_run.py)."""
+    from .operators.merge import dedup_latest
+    from .sql import IcehouseSQL
+    from .table import Catalog
+
+    d = _fresh_dir()
+    try:
+        cat = Catalog(spark, f"{d}/cat")
+        cat.create_table("pages", _read_fixture(spark, "merge_base", 4))
+        delta = dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        )
+        with cat.transaction() as txn:
+            txn.merge_into("pages", delta, ["url"])
+        sql = IcehouseSQL(spark, catalog=cat)
+        sql.sql(
+            "CREATE VIEW lang_rollup AS "
+            "SELECT lang, count(*) AS n_pages, "
+            "sum(length(text)) AS text_bytes "
+            "FROM pages GROUP BY lang"
+        )
+        out = sql.sql("SELECT * FROM lang_rollup")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_CATALOG_VIEW = f"""
+WITH base AS (SELECT * FROM read_parquet('{fixture_path("merge_base")}')),
+delta AS (SELECT * FROM read_parquet('{fixture_path("merge_delta")}')),
+d AS (
+  SELECT url, warc_ts, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM delta
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT coalesce(d.url, b.url) AS url,
+         coalesce(d.text, b.text) AS text,
+         coalesce(d.lang, b.lang) AS lang
+  FROM base b FULL OUTER JOIN d ON b.url = d.url
+)
+SELECT lang, count(*) AS n_pages,
+       CAST(sum(length(text)) AS BIGINT) AS text_bytes
+FROM merged GROUP BY lang
+"""
+
+
 def m_rename_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rename-then-merge (schema evolution v2): the url column is renamed
     to page_url AFTER the base files are written (metadata-only — no
@@ -1071,6 +1129,7 @@ MAINTENANCE_REGISTRY: dict = {
     "m_sql_rollback": (m_sql_rollback, SQL_M_BASE_ONLY),
     "m_truncate_restore": (m_truncate_restore, SQL_M_TRUNCATE_RESTORE),
     "m_catalog_txn": (m_catalog_txn, SQL_M_CATALOG_TXN),
+    "m_catalog_view": (m_catalog_view, SQL_M_CATALOG_VIEW),
     "m_rename_merge_scan": (m_rename_merge_scan, SQL_M_MERGE_SCD1),
     "m_defaults_merge_scan": (m_defaults_merge_scan, SQL_M_DEFAULTS_MERGE),
     "m_widen_merge_scan": (m_widen_merge_scan, SQL_M_WIDEN_MERGE),

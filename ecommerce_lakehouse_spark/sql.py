@@ -52,6 +52,12 @@ Grammar (case-insensitive keywords; one statement per call):
   INSERT INTO <t> SELECT ...            (atomic append of the query result)
   CREATE [OR REPLACE] TABLE <t> AS SELECT ...   (CTAS — schema from the
          query; OR REPLACE atomically overwrites an existing table)
+  CREATE [OR REPLACE] VIEW <name> AS SELECT ...   (catalog-persisted SQL
+         view — the query TEXT is stored, nothing materializes; reads
+         resolve against the pins of the moment. SELECTs referencing the
+         view auto-register its dependency closure)
+  DROP VIEW <name>
+  SHOW VIEWS                   (name + definition of every catalog view)
   REPLACE TABLE <t> AS SELECT ...       (RTAS — table must exist; one
          atomic overwrite snapshot, history/tags/properties survive)
   CALL <proc>(<t>[, arg | name => arg ...])   (Iceberg-style procedures:
@@ -209,6 +215,16 @@ class IcehouseSQL:
         s = _squash(stmt)
         head = s.split(" ", 1)[0].upper()
         if head in ("SELECT", "WITH"):
+            if self.catalog is not None:
+                # catalog views resolve on demand: registering a referenced
+                # view registers its dependency closure (tables at their
+                # pins, prerequisite views) as temp views, so a SELECT over
+                # a view needs no prior register_views() call
+                from .table.catalog import _references
+
+                for v in self.catalog.view_names():
+                    if _references(s, v):
+                        self.catalog.read_view(v)
             return self.spark.sql(self._rewrite_time_travel(s))
         if s.upper() == "SHOW TABLES":
             if self.catalog is None:
@@ -219,6 +235,14 @@ class IcehouseSQL:
             return self.spark.createDataFrame(
                 [(n, e["path"], e["snapshot"]) for n, e in sorted(md.items())],
                 "name string, path string, pinned_snapshot long",
+            )
+        if s.upper() == "SHOW VIEWS":
+            if self.catalog is None:
+                raise IcehouseSQLError("SHOW VIEWS needs an attached Catalog")
+            views = self.catalog.load_metadata().get("views", {})
+            return self.spark.createDataFrame(
+                sorted(views.items()) or [],
+                "name string, sql string",
             )
         handler = {
             "MERGE": self._merge,
@@ -415,6 +439,11 @@ class IcehouseSQL:
         r"(?P<t>'[^']+'|[\w.]+) AS (?P<q>(?:SELECT|WITH) .+)$",
         re.I,
     )
+    _CREATE_VIEW = re.compile(
+        r"^CREATE(?P<orr> OR REPLACE)? VIEW (?P<t>[\w.]+) AS "
+        r"(?P<q>(?:SELECT|WITH) .+)$",
+        re.I,
+    )
 
     def _insert(self, s: str):
         """INSERT INTO <t> SELECT ... — one atomic append snapshot. The
@@ -437,7 +466,23 @@ class IcehouseSQL:
         REPLACE / REPLACE TABLE — as ONE atomic overwrite snapshot of an
         existing one (history, tags, and properties survive; readers see
         either the old row set or the new, never a mix). REPLACE TABLE
-        requires the table to exist; CREATE TABLE requires it not to."""
+        requires the table to exist; CREATE TABLE requires it not to.
+
+        CREATE [OR REPLACE] VIEW <name> AS SELECT ... persists the QUERY
+        TEXT in the catalog (Catalog.create_view) — nothing materializes;
+        reads resolve against the catalog pins of the moment."""
+        mv = self._CREATE_VIEW.match(s)
+        if mv:
+            if self.catalog is None:
+                raise IcehouseSQLError(
+                    "CREATE VIEW needs an attached Catalog (views are "
+                    "catalog objects)"
+                )
+            self.catalog.create_view(
+                mv.group("t").strip(), mv.group("q").strip(),
+                replace=mv.group("orr") is not None,
+            )
+            return DMLResult("create-view", mv.group("t").strip())
         m = self._CTAS.match(s)
         if not m:
             raise IcehouseSQLError(
@@ -491,7 +536,7 @@ class IcehouseSQL:
         return DMLResult("create-table-as", tbl)
 
     _DROP = re.compile(
-        r"^DROP TABLE (?P<t>[\w.]+)(?P<purge> PURGE)?$", re.I
+        r"^DROP (?P<kind>TABLE|VIEW) (?P<t>[\w.]+)(?P<purge> PURGE)?$", re.I
     )
 
     def _drop(self, s: str):
@@ -503,14 +548,21 @@ class IcehouseSQL:
         m = self._DROP.match(s)
         if not m:
             raise IcehouseSQLError(
-                "DROP supports: DROP TABLE <catalog-name> [PURGE] "
-                "(quoted paths are not droppable through SQL)"
+                "DROP supports: DROP TABLE <catalog-name> [PURGE] or "
+                "DROP VIEW <name> (quoted paths are not droppable "
+                "through SQL)"
             )
         if self.catalog is None:
             raise IcehouseSQLError(
-                "DROP TABLE needs an attached Catalog for name resolution"
+                "DROP TABLE/VIEW needs an attached Catalog for name "
+                "resolution"
             )
         name = m.group("t").strip()
+        if m.group("kind").upper() == "VIEW":
+            if m.group("purge"):
+                raise IcehouseSQLError("PURGE applies to tables, not views")
+            self.catalog.drop_view(name)
+            return DMLResult("drop-view", name)
         self.catalog.drop_table(name, purge=m.group("purge") is not None)
         return DMLResult("drop-table", name)
 

@@ -54,7 +54,49 @@ from .format import CommitConflict, IcehouseTable
 from .predicates import Predicate
 
 
-_EMPTY_MD = {"format_version": 1, "tables": {}, "pending": {}}
+_EMPTY_MD = {"format_version": 1, "tables": {}, "pending": {}, "views": {}}
+
+
+def _references(sql: str, name: str) -> bool:
+    """Whether ``sql`` mentions ``name`` as a bare identifier. Textual and
+    deliberately conservative (a name inside a string literal counts): the
+    cost of a false positive is an extra temp-view registration or an
+    over-careful drop refusal, never a wrong result."""
+    import re
+
+    return re.search(rf"\b{re.escape(name)}\b", sql, re.I) is not None
+
+
+def _view_order(views: dict) -> list[str]:
+    """Topological order of the view graph (prerequisites first); raises
+    ValueError on a reference cycle — checked at CREATE time so a cyclic
+    definition can never be persisted."""
+    deps = {
+        v: {o for o in views if o != v and _references(sql, o)}
+        for v, sql in views.items()
+    }
+    order: list[str] = []
+    done: set = set()
+    while len(order) < len(views):
+        ready = sorted(v for v in deps if v not in done and deps[v] <= done)
+        if not ready:
+            cyc = sorted(v for v in deps if v not in done)
+            raise ValueError(f"view reference cycle among {cyc}")
+        order.extend(ready)
+        done.update(ready)
+    return order
+
+
+def _in_closure(views: dict, root: str, target: str) -> bool:
+    """Whether ``target`` is a transitive view dependency of ``root``."""
+    seen, stack = set(), [root]
+    while stack:
+        v = stack.pop()
+        for o in views:
+            if o != v and o not in seen and _references(views[v], o):
+                seen.add(o)
+                stack.append(o)
+    return target in seen
 
 
 class Catalog:
@@ -150,7 +192,9 @@ class Catalog:
         ``purge=True`` additionally removes the table directory (Iceberg's
         ``DROP TABLE ... PURGE``). Refuses while a pending transaction
         still references the table — :meth:`recover` needs it to finish
-        phase 2."""
+        phase 2 — and while a catalog VIEW references it (drop the views
+        first; a dangling view would fail only at read time, long after the
+        drop)."""
         path_holder: dict = {}
 
         def mutate(md: dict) -> dict:
@@ -163,6 +207,15 @@ class Catalog:
                         f"table {name!r} is referenced by pending "
                         f"transaction {txn_id} — run recover() first"
                     )
+            holders = [
+                v for v, sql in md.get("views", {}).items()
+                if _references(sql, name)
+            ]
+            if holders:
+                raise CommitConflict(
+                    f"table {name!r} is referenced by view(s) "
+                    f"{sorted(holders)} — drop them first"
+                )
             path_holder["path"] = entry["path"]
             del md["tables"][name]
             return md
@@ -185,6 +238,106 @@ class Catalog:
             return md
 
         self._cas(mutate)
+
+    # ---------------------------------------------------------------- views
+
+    def view_names(self) -> list[str]:
+        return sorted(self.load_metadata().get("views", {}))
+
+    def view_sql(self, name: str) -> str:
+        sql = self.load_metadata().get("views", {}).get(name)
+        if sql is None:
+            raise ValueError(f"unknown view {name!r}")
+        return sql
+
+    def create_view(self, name: str, sql: str, replace: bool = False) -> None:
+        """Persist a SQL view in the catalog (the Iceberg-view analog: the
+        view is its SQL TEXT, versioned through the same catalog CAS as
+        table pins — no data is materialized). The text may reference
+        catalog tables and other catalog views; resolution happens at READ
+        time against the then-current catalog pins, so a view over
+        ``pages`` always reflects the transactionally consistent snapshot
+        set, exactly like :meth:`read`.
+
+        Reference anchor: the reference's gold layer publishes derived
+        tables per run (reference/src/gold/master_gold_run.py); a catalog
+        view expresses the same derivation declaratively without the
+        rewrite cost — the training-data "latest clean slice" idiom.
+
+        The definition must be a single SELECT/WITH statement. Name
+        collisions with tables are refused (one namespace, like Iceberg
+        catalogs); self-references and reference cycles are refused at
+        CREATE time, not left to recurse at read time."""
+        if not name or "." in name or "/" in name:
+            raise ValueError(f"invalid view name {name!r}")
+        head = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
+        if head not in ("SELECT", "WITH"):
+            raise ValueError(
+                f"view {name!r}: definition must be a SELECT/WITH query"
+            )
+
+        def mutate(md: dict) -> dict:
+            views = md.setdefault("views", {})
+            if name in md["tables"]:
+                raise CommitConflict(
+                    f"{name!r} is a table — views and tables share one "
+                    f"namespace"
+                )
+            if name in views and not replace:
+                raise CommitConflict(
+                    f"view {name!r} exists — use replace=True / "
+                    f"CREATE OR REPLACE VIEW"
+                )
+            proposed = dict(views, **{name: sql})
+            _view_order(proposed)  # raises on a reference cycle
+            md["views"] = proposed
+            return md
+
+        self._cas(mutate)
+
+    def drop_view(self, name: str) -> None:
+        def mutate(md: dict) -> dict:
+            views = md.setdefault("views", {})
+            if name not in views:
+                raise CommitConflict(f"unknown view {name!r}")
+            holders = [
+                v for v, sql in views.items()
+                if v != name and _references(sql, name)
+            ]
+            if holders:
+                raise CommitConflict(
+                    f"view {name!r} is referenced by view(s) "
+                    f"{sorted(holders)} — drop them first"
+                )
+            del views[name]
+            return md
+
+        self._cas(mutate)
+
+    def read_view(self, name: str) -> DataFrame:
+        """Resolve a catalog view to a DataFrame: register the PINNED scans
+        of every catalog table its definition closure references, register
+        prerequisite views in dependency order, then run the view's SQL.
+        Metadata-only planning — nothing is materialized until an action."""
+        md = self.load_metadata()
+        views = md.get("views", {})
+        if name not in views:
+            raise ValueError(f"unknown view {name!r}")
+        # the dependency closure of this view, in prerequisite-first order
+        order = [
+            v for v in _view_order(views)
+            if v == name or _in_closure(views, name, v)
+        ]
+        tables = {
+            t for v in order for t in md["tables"] if _references(views[v], t)
+        }
+        for t in sorted(tables):
+            self.read(t).createOrReplaceTempView(t)
+        out = None
+        for v in order:
+            out = self.spark.sql(views[v])
+            out.createOrReplaceTempView(v)
+        return out
 
     def read(
         self,
@@ -223,7 +376,11 @@ class Catalog:
         consistent transaction set. ``metadata=True`` adds the
         ``<name>_files`` / ``_manifests`` / ``_partitions`` / ``_history``
         metadata views (the Iceberg ``$files`` idiom). Views resolve the
-        pin AT REGISTRATION time — re-register after new commits."""
+        pin AT REGISTRATION time — re-register after new commits.
+
+        Catalog SQL views (``create_view``) are registered after the
+        tables, in dependency order, so plain ``spark.sql`` sees the whole
+        namespace."""
         from ..sources.datasource import register_table_views
 
         out = []
@@ -236,6 +393,11 @@ class Catalog:
             else:
                 self.read(name).createOrReplaceTempView(name)
             out.append(name)
+        views = self.load_metadata().get("views", {})
+        if names is None:
+            for v in _view_order(views):
+                self.spark.sql(views[v]).createOrReplaceTempView(v)
+                out.append(v)
         return out
 
     def expire(self, name: str, **kwargs):
