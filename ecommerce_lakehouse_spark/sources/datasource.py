@@ -963,9 +963,10 @@ def register_table_views(
     reference's ``spark.table("catalog.schema.t")`` ergonomics without a
     catalog service): ``name`` is the (optionally snapshot/tag/branch-
     pinned) scan, and the metadata suffixes ``<name>_files``,
-    ``<name>_manifests``, ``<name>_partitions``, ``<name>_history`` expose
-    the metadata tables to SQL (the Iceberg ``$files`` idiom, spelled with
-    ``_`` because ``$`` is not a valid Spark temp-view identifier). Views are temp (session-scoped) and resolve
+    ``<name>_manifests``, ``<name>_partitions``, ``<name>_history``,
+    ``<name>_refs``, ``<name>_snapshots`` expose the metadata tables to SQL
+    (the Iceberg ``$files`` idiom, spelled with ``_`` because ``$`` is not
+    a valid Spark temp-view identifier). Views are temp (session-scoped) and resolve
     the snapshot AT REGISTRATION time — re-register to see later commits
     (deliberate: a pinned view is reproducible; auto-refresh would make
     query results commit-dependent mid-session)."""
@@ -981,3 +982,5 @@ def register_table_views(
         f"{name}_partitions"
     )
     table.history().createOrReplaceTempView(f"{name}_history")
+    table.refs_df().createOrReplaceTempView(f"{name}_refs")
+    table.snapshots_df().createOrReplaceTempView(f"{name}_snapshots")

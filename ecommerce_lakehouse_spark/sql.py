@@ -40,7 +40,8 @@ Grammar (case-insensitive keywords; one statement per call):
   DESCRIBE [TABLE] <t>        (column listing: name, type, nullable)
   DESCRIBE HISTORY|DETAIL <t>
   SHOW TABLES                  (catalog listing: name, path, pinned snapshot)
-  SHOW PARTITIONS|FILES|MANIFESTS <t>   (metadata DataFrames; no data read)
+  SHOW PARTITIONS|FILES|MANIFESTS|REFS|SNAPSHOTS <t>
+        (metadata DataFrames; no data read)
   SHOW TBLPROPERTIES <t> [('key')]
   TRUNCATE TABLE <t>     (metadata-only: drops every live file from the
          manifest in one commit; history/tags survive, expiry reclaims)
@@ -1056,21 +1057,23 @@ class IcehouseSQL:
         )
 
     _SHOW = re.compile(
-        r"^SHOW (?P<what>PARTITIONS|FILES|MANIFESTS|TBLPROPERTIES) "
+        r"^SHOW (?P<what>PARTITIONS|FILES|MANIFESTS|REFS|SNAPSHOTS|"
+        r"TBLPROPERTIES) "
         r"(?P<t>'[^']+'|[\w.]+)(?:\s*\(\s*'(?P<key>[^']+)'\s*\))?$",
         re.I,
     )
 
     def _show(self, s: str):
-        """SHOW PARTITIONS/FILES/MANIFESTS <t> → the metadata DataFrames
-        (partitions() rollup by transform tuple + bucket; files();
-        manifests()); SHOW TBLPROPERTIES <t> [('key')] → key/value rows —
-        all metadata-sized, never a data read."""
+        """SHOW PARTITIONS/FILES/MANIFESTS/REFS/SNAPSHOTS <t> → the
+        metadata DataFrames (partitions() rollup by transform tuple +
+        bucket; files(); manifests(); refs_df(); snapshots_df());
+        SHOW TBLPROPERTIES <t> [('key')] → key/value rows — all
+        metadata-sized, never a data read."""
         m = self._SHOW.match(s)
         if not m:
             raise IcehouseSQLError(
-                "SHOW supports: SHOW PARTITIONS|FILES|MANIFESTS|"
-                "TBLPROPERTIES <t> [('key')]"
+                "SHOW supports: SHOW PARTITIONS|FILES|MANIFESTS|REFS|"
+                "SNAPSHOTS|TBLPROPERTIES <t> [('key')]"
             )
         table = self._table(m.group("t"))
         what = m.group("what").lower()
@@ -1087,4 +1090,6 @@ class IcehouseSQL:
             raise IcehouseSQLError(
                 "('key') selector is only valid with SHOW TBLPROPERTIES"
             )
+        if what in ("refs", "snapshots"):
+            return getattr(table, f"{what}_df")()
         return getattr(table, what)()

@@ -313,6 +313,54 @@ class IcehouseTable:
             "total_rows long, total_bytes long",
         )
 
+    def snapshots_df(self) -> DataFrame:
+        """The Iceberg ``$snapshots`` metadata table: every snapshot in the
+        metadata (published, staged, branch — lineage position is what
+        ``history()`` narrates) with its parent, commit time, operation and
+        full summary map. Metadata-only — zero manifest or data reads."""
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_id,
+                datetime.datetime.fromtimestamp(
+                    s.timestamp_ms / 1000.0, tz=datetime.timezone.utc
+                ).replace(tzinfo=None),
+                s.operation,
+                s.manifest_list,
+                {k: str(v) for k, v in (s.summary or {}).items()},
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, committed_at timestamp_ntz, "
+            "operation string, manifest_list string, "
+            "summary map<string,string>",
+        )
+
+    def refs_df(self) -> DataFrame:
+        """The Iceberg ``$refs`` metadata table: main, every tag, and every
+        branch with the snapshot it points at, plus the table's ref-aging
+        policy (``history.expire.max-ref-age-ms`` applies to tags and
+        branches; main never ages out). Metadata-only."""
+        props = self.properties()
+        age = props.get("history.expire.max-ref-age-ms")
+        max_age = int(age) if age is not None else None
+        cur = self.current_snapshot()
+        rows = [("main", "branch", cur.snapshot_id if cur else None, None)]
+        rows += [
+            (name, "tag", sid, max_age) for name, sid in self.refs().items()
+        ]
+        rows += [
+            (name, "branch", sid, max_age)
+            for name, sid in self.branches().items()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id long, "
+            "max_ref_age_ms long",
+        )
+
     def detail(self) -> DataFrame:
         """One-row table summary (the DESCRIBE DETAIL surface): location,
         current version/snapshot, live-file counts and bytes, row count,

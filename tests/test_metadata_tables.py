@@ -124,3 +124,60 @@ def test_register_table_views_sql_surface(spark, table):
     assert spark.sql("SELECT count(*) AS n FROM pages_t").collect()[0].n == 300
     register_table_views(spark, table.path, "pages_t")
     assert spark.sql("SELECT count(*) AS n FROM pages_t").collect()[0].n == 310
+
+
+def test_refs_df_lists_main_tags_branches(spark, table):
+    table.create_tag("v1")
+    table.create_branch("dev")
+    table.set_properties({"history.expire.max-ref-age-ms": "86400000"})
+    rows = {r.name: r for r in table.refs_df().collect()}
+    assert set(rows) == {"main", "v1", "dev"}
+    cur = table.current_snapshot().snapshot_id
+    assert rows["main"].type == "branch"
+    assert rows["main"].snapshot_id == cur
+    assert rows["main"].max_ref_age_ms is None  # main never ages out
+    assert rows["v1"].type == "tag"
+    assert rows["v1"].snapshot_id == table.refs()["v1"]
+    assert rows["v1"].max_ref_age_ms == 86400000
+    assert rows["dev"].type == "branch"
+    assert rows["dev"].snapshot_id == table.branches()["dev"]
+
+
+def test_snapshots_df_matches_metadata(spark, table):
+    table.append(generate_pages(spark, 30, seed=53, partitions=1))
+    rows = {r.snapshot_id: r for r in table.snapshots_df().collect()}
+    snaps = {s.snapshot_id: s for s in table.snapshots()}
+    assert set(rows) == set(snaps)
+    for sid, s in snaps.items():
+        r = rows[sid]
+        assert r.parent_id == s.parent_id
+        assert r.operation == s.operation
+        assert r.manifest_list == s.manifest_list
+        assert r.summary == {k: str(v) for k, v in s.summary.items()}
+    # unlike history() (lineage narration), snapshots_df is the raw log:
+    # every snapshot in metadata appears, including staged/off-chain ones
+    assert len(rows) == len(snaps)
+
+
+def test_show_refs_and_snapshots_sql(spark, table):
+    from ecommerce_lakehouse_spark.sql import IcehouseSQL
+
+    table.create_tag("train-v1")
+    sql = IcehouseSQL(spark)
+    refs = {r.name for r in sql.sql(f"SHOW REFS '{table.path}'").collect()}
+    assert refs == {"main", "train-v1"}
+    n = sql.sql(f"SHOW SNAPSHOTS '{table.path}'").count()
+    assert n == len(table.snapshots())
+
+
+def test_register_table_views_refs_snapshots(spark, table):
+    from ecommerce_lakehouse_spark.sources.datasource import register_table_views
+
+    table.create_tag("v1")
+    register_table_views(spark, table.path, "pages_m")
+    assert spark.sql(
+        "SELECT count(*) AS n FROM pages_m_refs WHERE type = 'tag'"
+    ).collect()[0].n == 1
+    assert spark.sql(
+        "SELECT count(*) AS n FROM pages_m_snapshots"
+    ).collect()[0].n >= 2
