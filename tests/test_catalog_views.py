@@ -137,3 +137,28 @@ def test_sql_create_view_needs_catalog(spark):
     sql = IcehouseSQL(spark)
     with pytest.raises(IcehouseSQLError, match="Catalog"):
         sql.sql("CREATE VIEW v AS SELECT 1 AS x")
+
+
+def test_concurrent_create_view_serializes_on_catalog_cas(spark, catalog):
+    """N racing CREATE VIEWs of distinct names all land (lost CAS races
+    revalidate and retry); a second CREATE of the SAME name aborts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def mk(i: int):
+        catalog.create_view(f"v{i}", f"SELECT {i} AS x")
+        return i
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        assert sorted(pool.map(mk, range(4))) == [0, 1, 2, 3]
+    assert catalog.view_names() == ["v0", "v1", "v2", "v3"]
+    errs = 0
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(catalog.create_view, "dup", "SELECT 1 AS x")
+                for _ in range(2)]
+        for f in futs:
+            try:
+                f.result()
+            except CommitConflict:
+                errs += 1
+    assert errs == 1  # exactly one winner
+    assert "dup" in catalog.view_names()
