@@ -129,6 +129,73 @@ FROM kept a JOIN kept b
 
 SQL_MINHASH_LSH_PAIRS = _sql_minhash_lsh_pairs()
 
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS, not pairs: LSH candidate pairs grouped into
+    connected components (hash-min label propagation), every document
+    labeled with its cluster id (singletons label themselves). The step a
+    training-data pipeline runs between pair generation and corpus dedup;
+    the oracle states the same fixpoint relationally with a DuckDB
+    recursive CTE (transitive closure + min label)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id")
+    labels = D.connected_components(pairs)
+    return docs.join(labels, docs["doc_id"] == labels["node"], "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+
+
+# DuckDB recursive-CTE twin of connected_components: reach(node, lbl) holds
+# "lbl can reach node" over the symmetrized edges; MIN(lbl) per node is the
+# component's minimum id — exactly the propagation fixpoint.
+_SQL_COMPONENTS_CTE = f"""
+pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_COMPONENTS_CTE}
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """The deduplicated corpus: one survivor per cluster, best copy kept
+    (longest text, ties to the lowest id), with the cluster size."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id")
+    return D.dedup_survivors(docs, pairs, "doc_id", quality_col="n_chars")
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {_SQL_COMPONENTS_CTE},
+labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+  FROM labeled
+)
+SELECT doc_id, cluster_id, CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE rk = 1
+"""
+
 JACCARD_THRESHOLD = 0.35
 # posting-list cap: shingles in more docs than this are dropped pre-join
 # (k docs sharing a shingle → k²/2 join rows; boilerplate shingles at web
@@ -622,6 +689,8 @@ ML_REGISTRY: dict = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "cosine_near_dup": (q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
