@@ -185,8 +185,13 @@ def _rewrite_bin(
     n_out = max(1, (b.bytes + target_file_bytes - 1) // target_file_bytes)
     # DV-applied read pinned to the planning snapshot: compaction
     # MATERIALIZES positional deletes (the replaced files' registry entries
-    # drop in the same commit; the commit aborts if NEWER deletes landed)
-    df = table.read_files(b.files, snapshot=base_snap)
+    # drop in the same commit; the commit aborts if NEWER deletes landed).
+    # With row lineage on, the carried _row_id is read (virtual or already
+    # materialized) and written as a physical column — a document's id
+    # survives the rewrite.
+    df = table.read_files(
+        b.files, snapshot=base_snap, with_row_id=table.row_lineage_enabled()
+    )
     # a "sort.order" table keeps its pruning property THROUGH compaction
     # (Iceberg's sort rewrite strategy vs plain binpack): the bin is
     # re-range-sorted so outputs get disjoint bounds again — same bytes
@@ -204,7 +209,11 @@ def _rewrite_bin(
     else:
         df = df.coalesce(n_out)
     staging = os.path.join(table.path, f"_staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    codec = table.properties().get("write.parquet.compression-codec")
+    if codec:
+        writer = writer.option("compression", codec)
+    writer.parquet(staging)
     moved = []
     for name in sorted(os.listdir(staging)):
         if name.endswith(".parquet"):

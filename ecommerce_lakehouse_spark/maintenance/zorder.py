@@ -196,8 +196,12 @@ def zorder_by(
     # may use the tightest bounds available — more interleave bits carry
     # information, and file min/max stats stay exact either way.
     # DV-applied read pinned to the planning snapshot: clustering
-    # materializes positional deletes (commit aborts on newer ones)
-    df = table.read_files(files, snapshot=base_snap)
+    # materializes positional deletes (commit aborts on newer ones).
+    # Row lineage: carried _row_id values ride into the rewritten files
+    # as a physical column (same rule as compaction).
+    df = table.read_files(
+        files, snapshot=base_snap, with_row_id=table.row_lineage_enabled()
+    )
     try:
         lo_us, hi_us = _ts_bounds_from_stats(files, ts_col)
     except ValueError:

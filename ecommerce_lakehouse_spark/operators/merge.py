@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..table.format import IcehouseTable, Snapshot
+from ..table.format import ROW_ID, IcehouseTable, Snapshot
 from ..table.stats import _norm
 
 # Hybrid join strategy thresholds (north_rule: broadcast-vs-sort-merge
@@ -433,6 +433,12 @@ def merge_into(
     )
     base_registry = table.delete_registry_full(base_snap)
     schema = table.schema()
+    lineage = table.row_lineage_enabled()
+    if ROW_ID in source.columns:
+        # a lineage scan used as a MERGE source: target identity wins —
+        # matched rows keep the TARGET's _row_id, inserts get fresh ids
+        # assigned at commit time
+        source = source.drop(ROW_ID)
     widened = None
     if not delete_matched:
         # a writer that predates add_column(default=…) may omit the
@@ -556,9 +562,14 @@ def merge_into(
     # vectors must not be resurrected by the rewrite (their registry entries
     # drop in the same commit that replaces the files)
     if affected_files:
-        tgt = table.read_files(affected_files, snapshot=base_snap, schema=schema)
+        tgt = table.read_files(
+            affected_files, snapshot=base_snap, schema=schema,
+            with_row_id=lineage,
+        )
     else:
         tgt = spark.createDataFrame([], schema)
+        if lineage:
+            tgt = tgt.withColumn(ROW_ID, F.lit(None).cast("long"))
 
     upd_set = set(update_cols) if update_cols is not None else (
         set(tcols) - set(keys) - set(preserve_cols)
@@ -596,6 +607,14 @@ def merge_into(
         else:
             expr = F.when(F.col("__t").isNotNull(), tc).otherwise(sc)
         out_cols.append(expr.alias(c))
+    if lineage:
+        # carried/updated rows keep the target's id; full-outer insert rows
+        # (__t null) get NULL and fall back to the commit-assigned virtual id
+        out_cols.append(
+            F.when(F.col("__t").isNotNull(), t[ROW_ID])
+            .otherwise(F.lit(None).cast("long"))
+            .alias(ROW_ID)
+        )
 
     # Merge metrics ride along the single write action via Observation —
     # no persist of the wide join and no second pass over it.
@@ -618,7 +637,8 @@ def merge_into(
     obs_ins = None
     if delete_matched:
         result = joined.filter(F.col("__t").isNotNull() & F.col("__s").isNull()).select(
-            *[t[c].alias(c) for c in tcols]
+            *[t[c].alias(c) for c in tcols],
+            *([t[ROW_ID].alias(ROW_ID)] if lineage else []),
         )
     elif not insert_new:
         result = joined.filter(F.col("__t").isNotNull()).select(*out_cols)
@@ -629,6 +649,8 @@ def merge_into(
             F.broadcast(src_keys), keys, "left_semi"
         ).distinct()
         inserts = source.join(F.broadcast(matched_keys), keys, "left_anti").select(*tcols)
+        if lineage:
+            inserts = inserts.withColumn(ROW_ID, F.lit(None).cast("long"))
         if collect_metrics:
             obs_ins = Observation("merge_inserts")
             inserts = inserts.observe(obs_ins, F.count(F.lit(1)).alias("n_ins"))

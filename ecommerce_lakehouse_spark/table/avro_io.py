@@ -39,10 +39,15 @@ MANIFEST_SCHEMA = {
         {"name": "row_count", "type": "long"},
         {"name": "size_bytes", "type": "long"},
         {"name": "added_by", "type": ["null", "long"], "default": None},
+        # row-lineage base id (v2 manifest field; older manifests lack it
+        # and decode with None — the reader dispatches on the FILE's schema)
+        {"name": "first_row_id", "type": ["null", "long"], "default": None},
         {"name": "stats_json", "type": "string"},
     ],
 }
 MANIFEST_SCHEMA_JSON = json.dumps(MANIFEST_SCHEMA)
+_V1_FIELD_NAMES = ["path", "row_count", "size_bytes", "added_by", "stats_json"]
+_V2_FIELD_NAMES = [f["name"] for f in MANIFEST_SCHEMA["fields"]]
 
 
 # --------------------------------------------------------- primitive codec
@@ -93,27 +98,33 @@ def _encode_entry(rec: dict) -> bytes:
     out += _encode_string(rec["path"])
     out += _encode_long(rec["row_count"])
     out += _encode_long(rec["size_bytes"])
-    added_by = rec.get("added_by")
-    if added_by is None:
-        out += _encode_long(0)  # union branch 0: null
-    else:
-        out += _encode_long(1) + _encode_long(added_by)
+    for key in ("added_by", "first_row_id"):
+        v = rec.get(key)
+        if v is None:
+            out += _encode_long(0)  # union branch 0: null
+        else:
+            out += _encode_long(1) + _encode_long(v)
     out += _encode_string(json.dumps(rec.get("stats", {}), separators=(",", ":")))
     return bytes(out)
 
 
-def _decode_entry(buf: io.BytesIO) -> dict:
+def _decode_entry(buf: io.BytesIO, with_first_row_id: bool = True) -> dict:
     path = _decode_string(buf)
     row_count = _decode_long(buf)
     size_bytes = _decode_long(buf)
     branch = _decode_long(buf)
     added_by = _decode_long(buf) if branch == 1 else None
+    first_row_id = None
+    if with_first_row_id:
+        branch = _decode_long(buf)
+        first_row_id = _decode_long(buf) if branch == 1 else None
     stats = json.loads(_decode_string(buf))
     return {
         "path": path,
         "row_count": row_count,
         "size_bytes": size_bytes,
         "added_by": added_by,
+        "first_row_id": first_row_id,
         "stats": stats,
     }
 
@@ -174,9 +185,12 @@ def read_manifest_avro(full_path: str) -> list[dict]:
             meta[k] = buf.read(vlen)
     codec = meta.get("avro.codec", b"null").decode()
     schema = json.loads(meta["avro.schema"].decode())
-    if [f["name"] for f in schema.get("fields", [])] != [
-        f["name"] for f in MANIFEST_SCHEMA["fields"]
-    ]:
+    file_fields = [f["name"] for f in schema.get("fields", [])]
+    if file_fields == _V2_FIELD_NAMES:
+        with_frid = True
+    elif file_fields == _V1_FIELD_NAMES:  # pre-row-lineage manifests
+        with_frid = False
+    else:
         raise ValueError(f"{full_path}: unexpected manifest schema")
     sync = buf.read(16)
 
@@ -195,7 +209,7 @@ def read_manifest_avro(full_path: str) -> list[dict]:
             raise ValueError(f"unsupported codec {codec!r}")
         bbuf = io.BytesIO(block)
         for _ in range(count):
-            records.append(_decode_entry(bbuf))
+            records.append(_decode_entry(bbuf, with_first_row_id=with_frid))
         if buf.read(16) != sync:
             raise ValueError(f"{full_path}: sync marker mismatch (corrupt block)")
     return records

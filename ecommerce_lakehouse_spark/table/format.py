@@ -87,6 +87,24 @@ SKETCH_COLS_PROP = "sketch.cols"
 SKETCH_STAT_PREFIX = "__sketch:"
 SKETCH_BITS = 2048
 
+# ------------------------------------------------------------- row lineage
+# Iceberg-v3-style stable row ids. With the table property
+# ``row-lineage=true``, every commit assigns each ADDED data file a
+# ``first_row_id`` from the table-level ``next-row-id`` counter
+# (pure metadata — no data cost); a lineage read computes
+#   _row_id = coalesce(<materialized _row_id column>, first_row_id + pos)
+# so plain appends need nothing physical. Rewrites (MERGE / compaction /
+# clustering) MATERIALIZE the carried ids as a real ``_row_id`` parquet
+# column when the table property ``row-lineage=true`` is set — that is
+# what makes a document's id survive maintenance, the invariant an
+# incremental 10^12-doc training-data consumer keys provenance on.
+# Fresh rows (MERGE inserts) carry NULL in the materialized column and
+# fall back to the commit-assigned virtual id — the v3 rule, one reader
+# path for every file generation.
+ROW_ID = "_row_id"
+ROW_LINEAGE_PROP = "row-lineage"
+NEXT_ROW_ID_KEY = "next-row-id"
+
 
 def _sketch_b64(positions) -> str:
     import base64
@@ -174,19 +192,25 @@ class DataFile:
     stats: dict = field(default_factory=dict)
     # snapshot id that added this file (lineage)
     added_by: int | None = None
+    # row-lineage base: rows without a materialized _row_id get
+    # first_row_id + position (assigned at commit; None on pre-feature files)
+    first_row_id: int | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "row_count": self.row_count,
             "size_bytes": self.size_bytes,
             "stats": self.stats,
             "added_by": self.added_by,
         }
+        if self.first_row_id is not None:
+            d["first_row_id"] = self.first_row_id
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["row_count"], d["size_bytes"], d.get("stats", {}), d.get("added_by"))
+        return DataFile(d["path"], d["row_count"], d["size_bytes"], d.get("stats", {}), d.get("added_by"), d.get("first_row_id"))
 
 
 @dataclass
@@ -529,7 +553,7 @@ class IcehouseTable:
             return [
                 DataFile(
                     r["path"], r["row_count"], r["size_bytes"],
-                    r["stats"], r["added_by"],
+                    r["stats"], r["added_by"], r.get("first_row_id"),
                 )
                 for r in read_manifest_avro(full)
             ]
@@ -683,6 +707,7 @@ class IcehouseTable:
         snapshot: Snapshot | None = None,
         with_pos: bool = False,
         schema: StructType | None = None,
+        with_row_id: bool = False,
     ) -> DataFrame:
         """Read the given data files with the snapshot's DELETION VECTORS
         applied (merge-on-read): rows whose (file, row_index) appear in a DV
@@ -693,6 +718,12 @@ class IcehouseTable:
         ``with_pos=True`` keeps the ``__fname``/``__pos`` provenance columns
         (used by delete_where itself). The DV side is counted-broadcast:
         registry row counts decide broadcast vs shuffle anti-join.
+
+        ``with_row_id=True`` appends the stable ``_row_id`` column:
+        ``coalesce(<materialized _row_id>, first_row_id + position)`` — the
+        Iceberg-v3 rule. The file→first_row_id map is metadata-sized and
+        broadcast; files predating the feature (first_row_id None, no
+        materialized column) yield NULL — run :meth:`assign_row_ids` once.
         """
         from pyspark.sql import functions as F
 
@@ -704,6 +735,8 @@ class IcehouseTable:
                 df = df.withColumn(
                     "__fname", F.lit(None).cast("string")
                 ).withColumn("__pos", F.lit(None).cast("long"))
+            if with_row_id:
+                df = df.withColumn(ROW_ID, F.lit(None).cast("long"))
             return df
         paths = [os.path.join(self.path, f.path) for f in files]
         full_reg = self.delete_registry_full(snapshot)
@@ -733,14 +766,36 @@ class IcehouseTable:
         # generations resolves the value in one scan — no per-file schema
         # resolution, no per-generation scan groups
         read_schema, aliases = self.alias_read_plan(schema)
+        if with_row_id:
+            from pyspark.sql.types import LongType
+
+            # request the materialized column too: files without it (plain
+            # appends) read NULL and fall back to the virtual id below
+            read_schema = StructType(
+                list(read_schema.fields) + [StructField(ROW_ID, LongType(), True)]
+            )
         df = self.spark.read.schema(read_schema).parquet(*paths)
-        need_prov = bool(dv_rels) or bool(eq) or with_pos or bool(defaults)
+        need_prov = (
+            bool(dv_rels) or bool(eq) or with_pos or bool(defaults) or with_row_id
+        )
         if need_prov:
             df = df.withColumn(
                 "__fname",
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
             ).withColumn("__pos", F.col("_metadata.row_index"))
         df = self.alias_resolve(df, aliases)
+        if with_row_id:
+            # metadata-sized (one row per file) broadcast map — never a shuffle
+            ridmap = self.spark.createDataFrame(
+                [(os.path.basename(f.path), f.first_row_id) for f in files],
+                "__rid_fn string, __frid long",
+            )
+            df = df.join(
+                F.broadcast(ridmap), df["__fname"] == ridmap["__rid_fn"], "left"
+            ).withColumn(
+                ROW_ID,
+                F.coalesce(F.col(ROW_ID), F.col("__frid") + F.col("__pos")),
+            ).drop("__rid_fn", "__frid")
         if dv_rels:
             dv = self.spark.read.parquet(
                 *[os.path.join(self.path, r) for r in dv_rels]
@@ -949,6 +1004,13 @@ class IcehouseTable:
             writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
             for c in bloom_cols:
                 writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        # Iceberg's write.parquet.compression-codec: per-table codec choice
+        # (zstd for cold archival tables, snappy/lz4 for scan-hot ones) —
+        # passed straight to the JVM parquet writer, applied by EVERY write
+        # path that stages through here (appends, MERGE, Z-order)
+        codec = props.get("write.parquet.compression-codec")
+        if codec:
+            writer = writer.option("compression", codec)
         writer.parquet(staging)
 
         moved: list[tuple[str, int | None, dict]] = []
@@ -1064,7 +1126,12 @@ class IcehouseTable:
     @staticmethod
     def _default_stats_cols(schema: StructType) -> list[str]:
         skip = {"binary"}
-        return [f.name for f in schema.fields if f.dataType.typeName() not in skip]
+        return [
+            f.name for f in schema.fields
+            if f.dataType.typeName() not in skip
+            and f.name != ROW_ID          # lineage plumbing, never a predicate
+            and not f.name.startswith("__")
+        ]
 
     def _try_publish(self, version: int, metadata: dict) -> bool:
         tmp = self._version_file(version) + f".{uuid.uuid4().hex}.tmp"
@@ -1095,6 +1162,7 @@ class IcehouseTable:
         base_delete_manifest: str | None = "__unchecked__",
         publish: bool = True,
         ref: str | None = None,
+        restamp_added_by: bool = True,
     ) -> Snapshot | None:
         """Optimistic commit with rebase-and-retry.
 
@@ -1126,6 +1194,24 @@ class IcehouseTable:
         if ref is not None and not publish:
             raise ValueError("a branch commit is already isolated from main "
                              "— staging (publish=False) does not compose")
+        if schema_json is not None:
+            bad = [
+                f["name"] for f in schema_json.get("fields", [])
+                if f["name"] == ROW_ID or f["name"].startswith("__")
+            ]
+            if bad:
+                raise ValueError(
+                    f"column name(s) {bad} are reserved (row lineage / "
+                    f"internal plumbing) — rename them before writing"
+                )
+        # row lineage: files arriving WITHOUT a first_row_id (fresh stages /
+        # rewrites) get one from the table's next-row-id counter; files that
+        # already carry one (cherry_pick republish, assign_row_ids re-adds)
+        # keep it — their range was consumed when THEY were first committed.
+        # The set is frozen here, before the loop: a CAS retry must re-assign
+        # exactly these files from the REBASED counter, never skip them
+        # because a failed attempt already stamped a (never-published) range.
+        rid_assign = [f for f in added if f.first_row_id is None]
         for _attempt in range(max_retries):
             version = self.current_version()
             if (not publish or ref is not None) and version == 0:
@@ -1207,8 +1293,21 @@ class IcehouseTable:
                 # plus a delete_by_key would land with added_by <= the
                 # delete's seq and its fresh rows would be silently hidden.
                 # Manifests are rewritten per attempt, so this is safe.
-                for f in added:
-                    f.added_by = version + 1
+                # (assign_row_ids re-adds EXISTING files and passes
+                # restamp_added_by=False — bumping their sequence would let
+                # them escape equality deletes recorded against them.)
+                if restamp_added_by:
+                    for f in added:
+                        f.added_by = version + 1
+                lineage_on = str(
+                    md.get("properties", {}).get(ROW_LINEAGE_PROP, "")
+                ).lower() == "true"
+                if lineage_on:
+                    cursor = int(md.get(NEXT_ROW_ID_KEY, 0))
+                    for f in rid_assign:
+                        f.first_row_id = cursor
+                        cursor += f.row_count
+                    md[NEXT_ROW_ID_KEY] = cursor
                 # at create time the codec property isn't committed yet —
                 # honor the one being committed right now
                 fmt = (properties or {}).get("manifest.codec")
@@ -1717,11 +1816,16 @@ class IcehouseTable:
         snapshot_id: int | None = None,
         columns: list[str] | None = None,
         apply_residual: bool = True,
+        row_lineage: bool = False,
     ) -> DataFrame:
         """Snapshot-scoped scan with manifest-stats file pruning.
 
         The same predicate is applied again as a Spark filter so Catalyst
         pushes it into the parquet row-group reader of surviving files.
+
+        ``row_lineage=True`` appends the stable ``_row_id`` column (see
+        :meth:`read_files`); with the ``row-lineage`` table property set,
+        ids survive MERGE / compaction / clustering rewrites.
         """
         snap = self._resolve_snapshot(snapshot_id)
         files = self.live_files(snap)
@@ -1729,13 +1833,19 @@ class IcehouseTable:
                            aliases=self.schema_aliases())
         schema = self.schema()
         if not kept:
-            return self.spark.createDataFrame([], schema)
-        df = self.read_files(kept, snapshot=snap)
+            df = self.spark.createDataFrame([], schema)
+            if row_lineage:
+                df = df.withColumn(ROW_ID, F.lit(None).cast("long"))
+            return df
+        df = self.read_files(kept, snapshot=snap, with_row_id=row_lineage)
         if predicates and apply_residual:
             for p in predicates:
                 df = df.filter(p.to_column())
         if columns:
-            df = df.select(*columns)
+            want = list(columns)
+            if row_lineage and ROW_ID not in want:
+                want.append(ROW_ID)
+            df = df.select(*want)
         return df
 
     def planned_files(
@@ -1752,7 +1862,43 @@ class IcehouseTable:
     # can skip them
     _CONTENT_NEUTRAL_OPS = ("compact", "cluster-", "rewrite-manifests",
                             "rewrite-deletes", "set-ref", "set-spec",
-                            "set-schema", "set-properties")
+                            "set-schema", "set-properties",
+                            "assign-row-ids")
+
+    # --------------------------------------------------------- row lineage
+
+    def row_lineage_enabled(self) -> bool:
+        """True when the table property ``row-lineage=true`` is set: commits
+        assign ``first_row_id`` ranges (virtual ids, pure metadata) and
+        rewrites MATERIALIZE carried ``_row_id`` values. Tables enabling the
+        property after data exists backfill via :meth:`assign_row_ids`."""
+        if not self.exists():
+            return False
+        return str(self.properties().get(ROW_LINEAGE_PROP, "")).lower() == "true"
+
+    def assign_row_ids(self) -> Snapshot | None:
+        """Backfill ``first_row_id`` on live files that predate row lineage
+        — one METADATA-ONLY commit (no data bytes read or written at any
+        table size). The files are re-added with their original ``added_by``
+        preserved (restamping would let them escape equality deletes
+        recorded against them) and the parent's delete registry is carried
+        verbatim, so DV/eq semantics are untouched. Returns None when every
+        live file already has an id."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        missing = [f for f in self.live_files(snap) if f.first_row_id is None]
+        if not missing:
+            return None
+        return self._commit(
+            "assign-row-ids",
+            missing,
+            {f.path for f in missing},
+            delete_manifest=snap.delete_manifest,
+            base_delete_manifest=snap.delete_manifest,
+            restamp_added_by=False,
+            extra_summary={"row_ids_assigned_files": len(missing)},
+        )
 
     # ------------------------------------------------------------- refs
 

@@ -21,6 +21,7 @@ SAMPLE = [
         "row_count": 123,
         "size_bytes": 45678,
         "added_by": 7,
+        "first_row_id": 1_000_000,          # row-lineage base (v2 field)
         "stats": {"url": {"min": "https://a", "max": "https://z", "null_count": 0},
                   "warc_ts": {"min": 1700000000000000, "max": 1700009999999999}},
     },
@@ -29,6 +30,7 @@ SAMPLE = [
         "row_count": 0,
         "size_bytes": 0,
         "added_by": None,                   # null union branch
+        "first_row_id": None,
         "stats": {},
     },
     {
@@ -36,6 +38,7 @@ SAMPLE = [
         "row_count": 2**40,                 # multi-byte varints
         "size_bytes": 2**33,
         "added_by": 1,
+        "first_row_id": 2**41,              # multi-byte varint in the union
         "stats": {"lang": {"min": "de", "max": "ru", "null_count": 3}},
     },
 ]
@@ -62,11 +65,13 @@ def test_avro_files_readable_by_java_avro(spark, tmp_path):
         while dfr.hasNext():
             rec = dfr.next()
             added = rec.get("added_by")
+            frid = rec.get("first_row_id")
             got.append({
                 "path": str(rec.get("path")),
                 "row_count": rec.get("row_count"),
                 "size_bytes": rec.get("size_bytes"),
                 "added_by": None if added is None else int(added),
+                "first_row_id": None if frid is None else int(frid),
                 "stats": json.loads(str(rec.get("stats_json"))),
             })
         dfr.close()
