@@ -1105,7 +1105,79 @@ SELECT {_PAGES_PROJ} FROM u
 """
 
 
+def m_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage end-to-end: stable ``_row_id`` through MERGE, compaction,
+    Z-order clustering and a DV delete. The base is written URL-sorted in
+    ONE file, so commit-time virtual ids equal the url rank — an id the
+    oracle can state relationally (``row_number() OVER (ORDER BY url)-1``).
+    The MERGE keeps the TARGET's id on every matched row and draws fresh
+    ids (>= 2000, projected to NULL for determinism) for inserts; the
+    rewrites MATERIALIZE carried ids; the delete removes rows without
+    renumbering survivors. Any id drift — a rewrite renumbering rows, a
+    merge taking the source's identity, a delete compacting ids — breaks
+    the value hash, not just the row count."""
+    from .maintenance import compact, zorder_by
+    from .operators.merge import dedup_latest, merge_into
+    from .table import IcehouseTable, Predicate, delete_where
+    from .table.format import ROW_ID
+
+    d = _fresh_dir()
+    try:
+        base = _read_fixture(spark, "merge_base", 1).orderBy("url").coalesce(1)
+        tbl = IcehouseTable.create(
+            spark, f"{d}/t", base, properties={"row-lineage": "true"}
+        )
+        delta = dedup_latest(_read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts")
+        merge_into(tbl, delta, "url")
+        compact(tbl, target_file_bytes=8 * 1024 * 1024)
+        zorder_by(tbl, curve="morton", target_file_bytes=512 * 1024)
+        delete_where(tbl, [
+            Predicate("url", ">=", "https://site010"),
+            Predicate("url", "<", "https://site020"),
+        ])
+        out = tbl.scan(row_lineage=True).select(
+            "url",
+            # base-era ids (< 2000) are deterministic; insert ids depend on
+            # commit order only, so project them to NULL for the hash
+            F.when(F.col(ROW_ID) < 2000, F.col(ROW_ID)).alias("base_rid"),
+            F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts_us"),
+            F.length("text").alias("text_len"),
+            "lang",
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_ROW_LINEAGE = f"""
+WITH base AS (
+  SELECT *, row_number() OVER (ORDER BY url) - 1 AS rid
+  FROM read_parquet('{fixture_path("merge_base")}')
+),
+d AS (
+  SELECT url, warc_ts, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM read_parquet('{fixture_path("merge_delta")}')
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT coalesce(d.url, b.url) AS url,
+         b.rid AS base_rid,
+         coalesce(d.warc_ts, b.warc_ts) AS warc_ts,
+         coalesce(d.text, b.text) AS text,
+         coalesce(d.lang, b.lang) AS lang
+  FROM base b FULL OUTER JOIN d ON b.url = d.url
+)
+SELECT url, base_rid, epoch_us(warc_ts) AS warc_ts_us,
+       length(text) AS text_len, lang
+FROM m
+WHERE url < 'https://site010' OR url >= 'https://site020'
+"""
+
+
 MAINTENANCE_REGISTRY: dict = {
+    "m_row_lineage": (m_row_lineage, SQL_M_ROW_LINEAGE),
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
     "m_partitioned_scan": (m_partitioned_scan, SQL_M_PARTITIONED_SCAN),
