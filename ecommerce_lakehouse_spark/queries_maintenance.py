@@ -1176,8 +1176,87 @@ WHERE url < 'https://site010' OR url >= 'https://site020'
 """
 
 
+def m_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view (table/mview.py): a per-lang rollup MV
+    over the pages table follows an SCD1 MERGE and a whole-lang DELETE
+    through two INCREMENTAL refreshes — each recomputes only the groups
+    the CDC range touched (counted-broadcast key scope) and deletes
+    vanished groups. The query RAISES if either refresh silently took the
+    full-recompute path, so the oracle pins the incremental maintenance
+    itself: a missed affected key, a stale group row, or a surviving
+    vanished group all break the value hash. Reference anchor: the gold
+    layer's per-run recomputation of daily_sales_summary
+    (reference/src/gold/table_notebooks/daily_sales_summary.py) — here
+    the same derived table is maintained at O(delta) cost."""
+    from .operators.merge import dedup_latest
+    from .table import Catalog, Predicate
+    from .table.deletes import delete_where
+
+    d = _fresh_dir()
+    try:
+        cat = Catalog(spark, f"{d}/cat")
+        cat.create_table("pages", _read_fixture(spark, "merge_base", 4))
+        cat.create_materialized_view(
+            "lang_stats",
+            "SELECT lang, count(*) AS n_pages, "
+            "sum(length(text)) AS text_bytes, max(warc_ts) AS latest_ts "
+            "FROM pages GROUP BY lang",
+        )
+        delta = dedup_latest(
+            _read_fixture(spark, "merge_delta", 4), ["url"], "warc_ts"
+        )
+        with cat.transaction() as txn:
+            txn.merge_into("pages", delta, ["url"])
+        r1 = cat.refresh_materialized_view("lang_stats")
+        delete_where(cat.table("pages"), [Predicate("lang", "=", "ru")])
+        cat.refresh("pages")
+        r2 = cat.refresh_materialized_view("lang_stats")
+        for r in (r1, r2):
+            if r["mode"] != "incremental":
+                raise RuntimeError(
+                    f"materialized-view refresh took the {r['mode']} path — "
+                    f"this oracle certifies the INCREMENTAL one"
+                )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        out = cat.read("lang_stats").select(
+            "lang",
+            "n_pages",
+            "text_bytes",
+            F.unix_micros(F.col("latest_ts").cast("timestamp")).alias(
+                "latest_ts_us"
+            ),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_M_MV_INCREMENTAL = f"""
+WITH base AS (SELECT * FROM read_parquet('{fixture_path("merge_base")}')),
+delta AS (SELECT * FROM read_parquet('{fixture_path("merge_delta")}')),
+d AS (
+  SELECT url, warc_ts, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM delta
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT coalesce(d.url, b.url) AS url,
+         coalesce(d.warc_ts, b.warc_ts) AS warc_ts,
+         coalesce(d.text, b.text) AS text,
+         coalesce(d.lang, b.lang) AS lang
+  FROM base b FULL OUTER JOIN d ON b.url = d.url
+)
+SELECT lang, count(*) AS n_pages,
+       CAST(sum(length(text)) AS BIGINT) AS text_bytes,
+       epoch_us(max(warc_ts)) AS latest_ts_us
+FROM merged WHERE lang <> 'ru' GROUP BY lang
+"""
+
+
 MAINTENANCE_REGISTRY: dict = {
     "m_row_lineage": (m_row_lineage, SQL_M_ROW_LINEAGE),
+    "m_mv_incremental": (m_mv_incremental, SQL_M_MV_INCREMENTAL),
     "m_merge_scd1_pages": (m_merge_scd1_pages, SQL_M_MERGE_SCD1),
     "m_compact_zorder_pruned_scan": (m_compact_zorder_pruned_scan, SQL_M_COMPACT_ZORDER),
     "m_partitioned_scan": (m_partitioned_scan, SQL_M_PARTITIONED_SCAN),

@@ -190,6 +190,10 @@ class IcehouseSQL:
     def __init__(self, spark: SparkSession, catalog=None):
         self.spark = spark
         self.catalog = catalog
+        # catalog tables THIS front end auto-registered for SELECTs: kept
+        # fresh (re-pinned) per statement, while names the caller
+        # registered themselves are never clobbered
+        self._auto_tables: set[str] = set()
 
     # ------------------------------------------------------------ resolve
 
@@ -226,6 +230,18 @@ class IcehouseSQL:
                 for v in self.catalog.view_names():
                     if _references(s, v):
                         self.catalog.read_view(v)
+                # catalog TABLES (incl. materialized views' backing
+                # tables) resolve on demand too — registered at their
+                # CURRENT pin, but never clobbering a temp view the
+                # caller registered themselves (e.g.
+                # register_views(metadata=True))
+                for t in self.catalog.table_names():
+                    if _references(s, t) and (
+                        t in self._auto_tables
+                        or not self.spark.catalog.tableExists(t)
+                    ):
+                        self.catalog.read(t).createOrReplaceTempView(t)
+                        self._auto_tables.add(t)
             return self.spark.sql(self._rewrite_time_travel(s))
         if s.upper() == "SHOW TABLES":
             if self.catalog is None:
@@ -245,6 +261,21 @@ class IcehouseSQL:
                 sorted(views.items()) or [],
                 "name string, sql string",
             )
+        if s.upper() == "SHOW MATERIALIZED VIEWS":
+            if self.catalog is None:
+                raise IcehouseSQLError(
+                    "SHOW MATERIALIZED VIEWS needs an attached Catalog"
+                )
+            mviews = self.catalog.load_metadata().get("mviews", {})
+            return self.spark.createDataFrame(
+                [
+                    (n, mv["sql"], mv["source"], mv["refreshed"])
+                    for n, mv in sorted(mviews.items())
+                ]
+                or [],
+                "name string, sql string, source string, "
+                "refreshed_snapshot long",
+            )
         handler = {
             "MERGE": self._merge,
             "DELETE": self._delete,
@@ -261,6 +292,7 @@ class IcehouseSQL:
             "REPLACE": self._create,
             "TRUNCATE": self._truncate,
             "DROP": self._drop,
+            "REFRESH": self._refresh,
         }.get(head)
         if handler is None:
             raise IcehouseSQLError(f"unsupported statement: {head}")
@@ -445,6 +477,30 @@ class IcehouseSQL:
         r"(?P<q>(?:SELECT|WITH) .+)$",
         re.I,
     )
+    _CREATE_MVIEW = re.compile(
+        r"^CREATE MATERIALIZED VIEW (?P<t>[\w.]+) AS (?P<q>SELECT .+)$",
+        re.I | re.S,
+    )
+    _REFRESH_MV = re.compile(
+        r"^REFRESH MATERIALIZED VIEW (?P<t>[\w.]+)(?P<full> FULL)?$", re.I
+    )
+
+    def _refresh(self, s: str):
+        """REFRESH MATERIALIZED VIEW <name> [FULL] — CDC-driven
+        incremental maintenance of the materialized aggregate (see
+        table/mview.py); FULL forces the one-commit recomputation."""
+        m = self._REFRESH_MV.match(s)
+        if not m:
+            raise IcehouseSQLError(
+                "REFRESH must be: REFRESH MATERIALIZED VIEW <name> [FULL]"
+            )
+        if self.catalog is None:
+            raise IcehouseSQLError(
+                "REFRESH MATERIALIZED VIEW needs an attached Catalog"
+            )
+        return self.catalog.refresh_materialized_view(
+            m.group("t").strip(), full=m.group("full") is not None
+        )
 
     def _insert(self, s: str):
         """INSERT INTO <t> SELECT ... — one atomic append snapshot. The
@@ -472,6 +528,15 @@ class IcehouseSQL:
         CREATE [OR REPLACE] VIEW <name> AS SELECT ... persists the QUERY
         TEXT in the catalog (Catalog.create_view) — nothing materializes;
         reads resolve against the catalog pins of the moment."""
+        mm = self._CREATE_MVIEW.match(s)
+        if mm:
+            if self.catalog is None:
+                raise IcehouseSQLError(
+                    "CREATE MATERIALIZED VIEW needs an attached Catalog"
+                )
+            return self.catalog.create_materialized_view(
+                mm.group("t").strip(), mm.group("q").strip()
+            )
         mv = self._CREATE_VIEW.match(s)
         if mv:
             if self.catalog is None:
@@ -537,7 +602,9 @@ class IcehouseSQL:
         return DMLResult("create-table-as", tbl)
 
     _DROP = re.compile(
-        r"^DROP (?P<kind>TABLE|VIEW) (?P<t>[\w.]+)(?P<purge> PURGE)?$", re.I
+        r"^DROP (?P<kind>TABLE|MATERIALIZED VIEW|VIEW) (?P<t>[\w.]+)"
+        r"(?P<purge> PURGE)?$",
+        re.I,
     )
 
     def _drop(self, s: str):
@@ -559,7 +626,13 @@ class IcehouseSQL:
                 "resolution"
             )
         name = m.group("t").strip()
-        if m.group("kind").upper() == "VIEW":
+        kind = m.group("kind").upper()
+        if kind == "MATERIALIZED VIEW":
+            self.catalog.drop_materialized_view(
+                name, purge=m.group("purge") is not None
+            )
+            return DMLResult("drop-materialized-view", name)
+        if kind == "VIEW":
             if m.group("purge"):
                 raise IcehouseSQLError("PURGE applies to tables, not views")
             self.catalog.drop_view(name)

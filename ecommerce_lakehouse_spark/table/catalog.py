@@ -201,6 +201,11 @@ class Catalog:
             entry = md["tables"].get(name)
             if entry is None:
                 raise CommitConflict(f"unknown table {name!r}")
+            if name in md.get("mviews", {}):
+                raise CommitConflict(
+                    f"{name!r} is a materialized view — use "
+                    f"drop_materialized_view / DROP MATERIALIZED VIEW"
+                )
             for txn_id, record in md["pending"].items():
                 if name in record["tables"]:
                     raise CommitConflict(
@@ -410,6 +415,32 @@ class Catalog:
         protect = set(kwargs.pop("protect_ids", None) or ())
         protect.add(self.pinned_snapshot(name))
         return expire_snapshots(self.table(name), protect_ids=protect, **kwargs)
+
+    # ---------------------------------------------------- materialized views
+
+    def mview_names(self) -> list[str]:
+        return sorted(self.load_metadata().get("mviews", {}))
+
+    def mview_definition(self, name: str) -> dict:
+        mv = self.load_metadata().get("mviews", {}).get(name)
+        if mv is None:
+            raise ValueError(f"unknown materialized view {name!r}")
+        return dict(mv)
+
+    def create_materialized_view(self, name: str, sql: str):
+        from .mview import create_materialized_view
+
+        return create_materialized_view(self, name, sql)
+
+    def refresh_materialized_view(self, name: str, full: bool = False):
+        from .mview import refresh_materialized_view
+
+        return refresh_materialized_view(self, name, full=full)
+
+    def drop_materialized_view(self, name: str, purge: bool = False) -> None:
+        from .mview import drop_materialized_view
+
+        drop_materialized_view(self, name, purge=purge)
 
     # ---------------------------------------------------------------- txns
 
