@@ -276,6 +276,45 @@ def main() -> None:
         maint["metadata_maintenance_sec"] = round(time.time() - t0, 3)
         maint["table_gb"] = round(table_bytes / 1e9, 3)
 
+        # ------------- materialized-view segment (round 5) -----------------
+        # CDC-driven incremental MV maintenance vs full recompute: a
+        # single-lang recrawl delta lands via a catalog txn, then the
+        # per-lang rollup MV refreshes by recomputing ONLY that group
+        # (feed → affected keys → key-scoped re-agg → keyed merge); the
+        # full-refresh control recomputes and rewrites every group.
+        from ecommerce_lakehouse_spark.table import Catalog
+
+        cat = Catalog(spark, f"{work}/cat")
+        cat.register_table("pages", tbl)
+        t0 = time.time()
+        cat.create_materialized_view(
+            "lang_stats",
+            "SELECT lang, count(*) AS n_pages, "
+            "sum(length(text)) AS text_bytes, max(warc_ts) AS latest_ts "
+            "FROM pages GROUP BY lang",
+        )
+        maint["mv_build_sec"] = round(time.time() - t0, 3)
+        mv_delta = dedup_latest(
+            generate_recrawl_delta(
+                spark, N_PAGES, n_new=0, n_recrawl=N_PAGES // 20,
+                seed=42, partitions=CPUS,
+            ).filter("lang = 'de'"),
+            ["url"], "warc_ts",
+        )
+        mv_delta.write.mode("overwrite").parquet(f"{work}/mv_delta")
+        with cat.transaction() as txn:
+            txn.merge_into(
+                "pages", spark.read.parquet(f"{work}/mv_delta"), ["url"]
+            )
+        t0 = time.time()
+        mv_res = cat.refresh_materialized_view("lang_stats")
+        maint["mv_incremental_refresh_sec"] = round(time.time() - t0, 3)
+        maint["mv_refresh_mode"] = mv_res["mode"]
+        maint["mv_affected_groups"] = mv_res["affected"]
+        t0 = time.time()
+        cat.refresh_materialized_view("lang_stats", full=True)
+        maint["mv_full_refresh_sec"] = round(time.time() - t0, 3)
+
         # ------------- bucketed-layout segment (round 3) -------------------
         # Same data, hash-bucket layout + DEFAULT (url-hash) Morton — the
         # layout where per-file url intervals are uselessly wide, so any

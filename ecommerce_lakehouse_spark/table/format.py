@@ -2732,6 +2732,66 @@ class IcehouseTable:
         ordered, _ = self.snapshot_range(from_snapshot_id, to_snap)
         return self._appended_files(ordered), to_snap
 
+    def touched_keys(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        cols: list[str] | None = None,
+    ) -> DataFrame:
+        """DISTINCT ``cols`` values among rows the commits in ``(from, to]``
+        COULD have changed — a cheap SUPERSET of the truly-changed keys.
+
+        Reuses :meth:`cdc_snapshot_plans`'s touched-file sets but skips the
+        multiset diff and classification entirely: it just unions
+        column-pruned reads of the touched files (before@parent ∪
+        after@snapshot, appends at the snapshot) and dedups. Rows a
+        copy-on-write rewrite carried over unchanged ARE included — safe
+        for affected-key consumers (recomputing an unchanged group is a
+        no-op) and far cheaper than the full CDC feed: no join, no
+        ``exceptAll``, and the parquet scan reads ONLY ``cols`` thanks to
+        Catalyst pruning. Cost is O(touched files' key bytes), never
+        O(table). Raises like :meth:`changes` when the range's history is
+        expired."""
+        if not cols:
+            raise ValueError("touched_keys needs at least one column")
+        to_snap = self._resolve_snapshot(to_snapshot_id)
+        empty = self.spark.createDataFrame(
+            [], StructType([f for f in self.schema().fields if f.name in cols])
+        )
+        if to_snap is None:
+            return empty
+        if from_snapshot_id > to_snap.snapshot_id:
+            raise ValueError(
+                f"touched_keys(): from={from_snapshot_id} is newer than "
+                f"to={to_snap.snapshot_id}"
+            )
+        ordered, by_id = self.snapshot_range(from_snapshot_id, to_snap)
+        parts: list[DataFrame] = []
+        for plan in self.cdc_snapshot_plans(ordered, by_id):
+            if plan["op"] == "append":
+                if plan["added"]:
+                    parts.append(
+                        self.read_files(plan["added"], snapshot=plan["snap"])
+                        .select(*cols)
+                    )
+                continue
+            if plan["before"]:
+                parts.append(
+                    self.read_files(plan["before"], snapshot=plan["parent"])
+                    .select(*cols)
+                )
+            if plan["after"]:
+                parts.append(
+                    self.read_files(plan["after"], snapshot=plan["snap"])
+                    .select(*cols)
+                )
+        if not parts:
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
     def cdc_snapshot_plans(
         self, ordered: list["Snapshot"], by_id: dict[int, "Snapshot"]
     ) -> list[dict]:

@@ -9,12 +9,13 @@ re-expressed on this engine's own primitives:
                  [WHERE ...] GROUP BY <group keys>`` (grammar enforced at
                  create time; the text is stored in catalog metadata like
                  a plain view's, versioned through the same CAS)
-- refresh      = ``changes(last_refreshed, pin, cdc=True)`` → the DISTINCT
-                 group keys the range touched → recompute ONLY those
+- refresh      = ``touched_keys(last_refreshed, pin)`` (keys-only,
+                 column-pruned superset of the changed keys — no CDC
+                 classification, no diff joins) → recompute ONLY those
                  groups over the pinned snapshot (counted-broadcast
                  semi-join, ``hybrid_key_scope``) → MERGE the recomputed
-                 rows + DELETE vanished groups. Cost is O(files the
-                 commits touched) + O(affected groups' slice), never
+                 rows + DELETE vanished groups. Cost is O(touched files'
+                 key bytes) + O(affected groups' slice), never
                  O(table) — the generalization of the affected-keys
                  session recompute (operators/sessionize.py) to any
                  keyed aggregate.
@@ -262,12 +263,15 @@ def refresh_materialized_view(
     if full:
         return _full()
     try:
-        feed = src.changes(last, pin, cdc=True)
+        # keys-only touched-key scan — a SUPERSET of the changed group
+        # keys at O(touched files' key bytes); no CDC classification is
+        # needed just to find which groups to recompute
+        keys_df = src.touched_keys(last, pin, cols=mv["keys"])
     except ValueError:
         # expired history between the refresh points, or a pin moved
         # backwards (rollback): the delta is unreconstructable — recompute
         return _full()
-    affected = feed.select(*mv["keys"]).distinct().localCheckpoint()
+    affected = keys_df.localCheckpoint()
     n_affected = affected.count()
     if n_affected == 0:
         # content-neutral range (compaction / clustering / metadata):
