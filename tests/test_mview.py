@@ -214,6 +214,32 @@ def test_definition_grammar():
     assert "count(*) AS n" in d["aggs"]
 
 
+def test_touched_keys_scan_is_key_pruned(spark, cat):
+    """The affected-key discovery must read ONLY the group-key columns —
+    at 100 TB the html/text payload of touched files must not be scanned
+    just to find which groups to recompute."""
+    import re
+
+    from ecommerce_lakehouse_spark.operators.merge import dedup_latest
+
+    tbl = cat.table("pages")
+    s0 = tbl.current_snapshot().snapshot_id
+    delta = dedup_latest(
+        generate_pages(spark, 60, seed=61, partitions=1, revision=1),
+        ["url"], "warc_ts",
+    )
+    from ecommerce_lakehouse_spark.operators.merge import merge_into
+
+    merge_into(tbl, delta, "url")
+    df = tbl.touched_keys(s0, cols=["lang"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no FileScan in touched_keys plan"
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols == {"lang"}, f"touched_keys read extra columns: {cols}"
+
+
 def test_sql_surface(spark, cat):
     from ecommerce_lakehouse_spark.sql import IcehouseSQL
 
