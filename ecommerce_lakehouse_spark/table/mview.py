@@ -295,10 +295,18 @@ def refresh_materialized_view(
     ).localCheckpoint()
     n_up = recomputed.count()
     n_del = vanished.count()
+    # collect_metrics=False: refresh already knows the exact group counts
+    # (n_up/n_del above), so the merges skip their Observation counters —
+    # cheaper, and it makes refresh safe to call inside a Structured
+    # Streaming foreachBatch (Observation.get deadlocks there — see
+    # streaming/cdc_apply.py)
     if n_up:
-        merge_into(mv_tbl, recomputed, mv["keys"])
+        merge_into(mv_tbl, recomputed, mv["keys"], collect_metrics=False)
     if n_del:
-        merge_into(mv_tbl, vanished, mv["keys"], delete_matched=True)
+        merge_into(
+            mv_tbl, vanished, mv["keys"], delete_matched=True,
+            collect_metrics=False,
+        )
     _advance()
     return MVRefreshResult(
         mode="incremental", affected=n_affected, upserted=n_up,

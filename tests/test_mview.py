@@ -240,6 +240,35 @@ def test_touched_keys_scan_is_key_pruned(spark, cat):
         assert cols == {"lang"}, f"touched_keys read extra columns: {cols}"
 
 
+def test_refresh_inside_foreachbatch(spark, cat, tmp_path):
+    """The ingest-stream composition: a foreachBatch callback appends the
+    micro-batch to the source table, advances the pin, and refreshes the
+    MV — pinning that refresh is safe where Observation.get deadlocks
+    (merge-inside-foreachBatch, see streaming/cdc_apply.py)."""
+    cat.create_materialized_view("mv", MV_SQL)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    batch = generate_pages(spark, 50, seed=99, partitions=1)
+    batch.coalesce(1).write.parquet(str(inbox / "b1"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(inbox / "*"))
+    modes = []
+
+    def _apply(bdf, _epoch):
+        cat.table("pages").append(bdf)
+        cat.refresh("pages")
+        modes.append(cat.refresh_materialized_view("mv")["mode"])
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert modes == ["incremental"]
+    _mv_vs_recompute(cat)
+
+
 def test_sql_surface(spark, cat):
     from ecommerce_lakehouse_spark.sql import IcehouseSQL
 
