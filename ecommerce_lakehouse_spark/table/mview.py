@@ -51,6 +51,11 @@ from pyspark.sql import DataFrame
 
 from .catalog import Catalog, CommitConflict
 
+# single-column affected-key sets at or under this size are inlined as an
+# IN predicate (manifest-stats file pruning + row-group pushdown) instead
+# of a key join — the collect is metadata-sized by construction
+_IN_PREDICATE_LIMIT = 10_000
+
 __all__ = [
     "MVRefreshResult",
     "create_materialized_view",
@@ -286,9 +291,26 @@ def refresh_materialized_view(
     ).limit(1).count():
         # NULL group keys can't ride the MERGE path (null-refusing keys)
         return _full()
-    scoped = hybrid_key_scope(
-        src.scan(snapshot_id=pin), affected, mv["keys"]
-    )
+    scan_path = "key-join"
+    if len(mv["keys"]) == 1 and n_affected <= _IN_PREDICATE_LIMIT:
+        # single-column key set small enough to inline: an IN predicate
+        # reaches the manifest stats (file pruning — on a source
+        # clustered/partitioned by the group key the recompute reads only
+        # the affected groups' FILES, not just their rows) and Catalyst
+        # pushes it into the surviving files' row groups. The residual
+        # filter makes the scope exact, so no join is needed at all.
+        from .predicates import Predicate
+
+        key = mv["keys"][0]
+        values = tuple(r[0] for r in affected.collect())
+        scoped = src.scan(
+            predicates=[Predicate(key, "in", values)], snapshot_id=pin
+        )
+        scan_path = "pruned-in"
+    else:
+        scoped = hybrid_key_scope(
+            src.scan(snapshot_id=pin), affected, mv["keys"]
+        )
     recomputed = _compute(cat, mv, scoped=scoped).localCheckpoint()
     vanished = affected.join(
         recomputed.select(*mv["keys"]), mv["keys"], "left_anti"
@@ -310,7 +332,7 @@ def refresh_materialized_view(
     _advance()
     return MVRefreshResult(
         mode="incremental", affected=n_affected, upserted=n_up,
-        deleted=n_del, refreshed_snapshot=pin,
+        deleted=n_del, refreshed_snapshot=pin, scan_path=scan_path,
     )
 
 

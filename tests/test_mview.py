@@ -240,6 +240,35 @@ def test_touched_keys_scan_is_key_pruned(spark, cat):
         assert cols == {"lang"}, f"touched_keys read extra columns: {cols}"
 
 
+def test_refresh_prunes_files_on_partitioned_source(spark, tmp_path):
+    """On a source partitioned by the group key, a small affected-key set
+    rides the IN-predicate path: the recompute scan plans only the
+    affected groups' FILES (manifest pruning), not just their rows — the
+    100-TB shape where one changed group touches one partition."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table(
+        "pages",
+        generate_pages(spark, 300, seed=61, partitions=3),
+        properties={
+            "partition.spec": '[{"transform": "identity", "col": "lang"}]'
+        },
+    )
+    cat.create_materialized_view("mv", MV_SQL)
+    victim = cat.read("mv").orderBy("n_pages", "lang").first()["lang"]
+    delete_where(cat.table("pages"), [Predicate("lang", "=", victim)])
+    cat.refresh("pages")
+    res = cat.refresh_materialized_view("mv")
+    assert res["mode"] == "incremental"
+    assert res["scan_path"] == "pruned-in"
+    assert res["deleted"] == 1
+    # the equivalent scan plan reads strictly fewer files than the table
+    tbl = cat.table("pages")
+    total = len(tbl.live_files())
+    planned = len(tbl.planned_files([Predicate("lang", "in", (victim,))]))
+    assert planned < total
+    _mv_vs_recompute(cat)
+
+
 def test_refresh_inside_foreachbatch(spark, cat, tmp_path):
     """The ingest-stream composition: a foreachBatch callback appends the
     micro-batch to the source table, advances the pin, and refreshes the
