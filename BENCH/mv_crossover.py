@@ -10,7 +10,11 @@ full path has near-zero fixed cost but scans the whole table. This sweep
 locates the crossover the same way BENCH/bucket_crossover.py does for
 bucketed merge routing.
 
-Usage: python BENCH/mv_crossover.py [sizes_csv] [cores]
+Usage: python BENCH/mv_crossover.py [sizes_csv] [cores] [partitioned]
+``partitioned`` (any truthy 3rd arg) lays the source out identity-
+partitioned by the group key (lang): the IN-predicate scope then prunes
+the recompute to the affected groups' FILES — the layout a 100-TB MV
+source should have.
 Emits one JSON line per size.
 """
 
@@ -25,6 +29,7 @@ import time
 sizes = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else
                           "8000,60000,250000,1000000").split(",")]
 cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+partitioned = len(sys.argv) > 3 and sys.argv[3] not in ("", "0", "false")
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from ecommerce_lakehouse_spark.datagen import (  # noqa: E402
@@ -48,8 +53,13 @@ def run(n: int) -> dict:
     work = tempfile.mkdtemp(prefix="mvx-")
     try:
         cat = Catalog(spark, f"{work}/cat")
+        props = (
+            {"partition.spec": '[{"transform": "identity", "col": "lang"}]'}
+            if partitioned else {}
+        )
         cat.create_table(
-            "pages", generate_pages(spark, n, seed=42, partitions=cores * 2)
+            "pages", generate_pages(spark, n, seed=42, partitions=cores * 2),
+            properties=props,
         )
         table_gb = sum(
             f.size_bytes for f in cat.table("pages").live_files()
@@ -77,7 +87,9 @@ def run(n: int) -> dict:
         cat.refresh_materialized_view("lang_stats", full=True)
         full = time.time() - t0
         return {
-            "n_pages": n, "table_gb": round(table_gb, 3),
+            "n_pages": n, "partitioned": partitioned,
+            "scan_path": res.get("scan_path"),
+            "table_gb": round(table_gb, 3),
             "delta_rows": delta_rows, "mv_build_sec": round(build, 2),
             "incremental_sec": round(inc, 2), "full_sec": round(full, 2),
             "affected_groups": res["affected"], "mode": res["mode"],

@@ -165,6 +165,23 @@ def test_where_clause_membership_changes(spark, cat):
     _mv_vs_recompute(cat, where=where)
 
 
+def test_source_rollback_falls_back_to_full(spark, cat):
+    """A source rollback moves the pin BEHIND the MV's refreshed
+    snapshot — the delta is unreconstructable (negative range), so the
+    refresh must downgrade to the atomic full path and converge on the
+    rolled-back contents."""
+    tbl = cat.table("pages")
+    s0 = tbl.current_snapshot().snapshot_id
+    tbl.append(generate_pages(spark, 40, seed=93, partitions=1))
+    cat.refresh("pages")
+    cat.create_materialized_view("mv", MV_SQL)
+    tbl.rollback_to(s0)
+    cat.refresh("pages")
+    res = cat.refresh_materialized_view("mv")
+    assert res["mode"] == "full"
+    _mv_vs_recompute(cat)
+
+
 def test_full_flag_forces_overwrite(spark, cat):
     cat.create_materialized_view("mv", MV_SQL)
     cat.table("pages").append(generate_pages(spark, 30, seed=91, partitions=1))
