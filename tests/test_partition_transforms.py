@@ -341,8 +341,11 @@ def test_sql_show_partitions_files_manifests(spark, tmp_path):
     assert parts.count() == n_days
     assert sql.sql(f"SHOW FILES {path}").count() == len(tbl.live_files())
     assert sql.sql(f"SHOW MANIFESTS {path}").count() >= 1
+    # SHOW SNAPSHOTS joined the grammar with snapshots_df() (seventh
+    # session) — the out-of-grammar probe moves to a nonsense keyword
+    assert sql.sql(f"SHOW SNAPSHOTS {path}").count() >= 1
     with pytest.raises(Exception, match="SHOW supports"):
-        sql.sql(f"SHOW SNAPSHOTS {path}")
+        sql.sql(f"SHOW SEGMENTS {path}")
 
 
 def test_streaming_sink_fans_out_partition_tags(spark, tmp_path):
