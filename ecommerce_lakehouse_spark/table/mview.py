@@ -277,7 +277,19 @@ def refresh_materialized_view(
         # backwards (rollback): the delta is unreconstructable — recompute
         return _full()
     affected = keys_df.localCheckpoint()
-    n_affected = affected.count()
+    # one action answers both planning questions: how many affected
+    # groups, and do any carry a NULL key
+    from pyspark.sql import functions as F
+
+    stats = affected.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(
+            F.greatest(*[F.col(k).isNull() for k in mv["keys"]])
+            if len(mv["keys"]) > 1
+            else F.col(mv["keys"][0]).isNull()
+        ).alias("__has_null"),
+    ).first()
+    n_affected = stats["__n"]
     if n_affected == 0:
         # content-neutral range (compaction / clustering / metadata):
         # nothing to recompute, just advance the bookkeeping
@@ -286,9 +298,7 @@ def refresh_materialized_view(
             mode="noop", affected=0, upserted=0, deleted=0,
             refreshed_snapshot=pin,
         )
-    if affected.where(
-        " OR ".join(f"{k} IS NULL" for k in mv["keys"])
-    ).limit(1).count():
+    if stats["__has_null"]:
         # NULL group keys can't ride the MERGE path (null-refusing keys)
         return _full()
     scan_path = "key-join"
@@ -312,11 +322,24 @@ def refresh_materialized_view(
             src.scan(snapshot_id=pin), affected, mv["keys"]
         )
     recomputed = _compute(cat, mv, scoped=scoped).localCheckpoint()
-    vanished = affected.join(
-        recomputed.select(*mv["keys"]), mv["keys"], "left_anti"
-    ).localCheckpoint()
     n_up = recomputed.count()
-    n_del = vanished.count()
+    # groups can only VANISH if some commit in the range removed rows —
+    # an append-only range (plus content-neutral commits) skips the
+    # anti-join entirely; pure metadata knowledge, no extra IO
+    ordered, _ = src.snapshot_range(last, src._resolve_snapshot(pin))
+    removing = tuple(
+        s for s in ordered
+        if not s.operation.startswith(
+            ("append",) + src._CONTENT_NEUTRAL_OPS
+        )
+    )
+    n_del = 0
+    vanished = None
+    if removing:
+        vanished = affected.join(
+            recomputed.select(*mv["keys"]), mv["keys"], "left_anti"
+        ).localCheckpoint()
+        n_del = vanished.count()
     # collect_metrics=False: refresh already knows the exact group counts
     # (n_up/n_del above), so the merges skip their Observation counters —
     # cheaper, and it makes refresh safe to call inside a Structured
