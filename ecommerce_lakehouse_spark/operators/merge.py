@@ -286,6 +286,92 @@ def _interval_candidates(candidates, src_keys: DataFrame, key: str):
 
 WIDTH_SAMPLE_ROWS = 10_000
 
+# Exact-discovery skip (r6, guide §1.2 "don't compute things you throw
+# away"): when the source's key count is ≥ this fraction of the candidate
+# files' total rows, the affected-file discovery pass (a full read of every
+# candidate's key column + a semi-join) is skipped and ALL candidates are
+# rewritten. Math: with n ≥ r·N keys spread over files of R rows each, a
+# file escapes the rewrite with probability ≤ (1−R/N)^n ≤ e^(−r·R) — at
+# r=0.25 and R≥100 rows/file that is e^−25, so discovery would have kept
+# ~every candidate anyway and its read is pure overhead. Concentrated key
+# sets don't break this: concentration tightens the source bounds, so the
+# stats/interval/bucket routing above has already cut `candidates` to the
+# touched region, which only RAISES the ratio while shrinking the
+# worst-case over-rewrite. Per-table override: property
+# "merge.discovery-skip-ratio" (set > 1 to always run exact discovery).
+MERGE_DISCOVERY_SKIP_RATIO = 0.25
+
+
+def _footer_prep_stats(source: DataFrame, keys: list[str], schema) -> dict | None:
+    """Prep stats (key bounds + null guard + row count) straight from the
+    source's parquet FOOTERS — zero Spark jobs — when the source is a bare
+    file scan (guide §1.2: the cheapest execution of the prep aggregation
+    is no execution; footers already hold min/max/null_count/num_rows).
+
+    Applies only when the analyzed plan is a plain relation (no filters,
+    projections or joins — their results aren't described by the footers)
+    and the key columns' types match the table schema exactly (a later
+    align_write_types cast would change the bounds domain). Returns the
+    same mapping shape `_prep_key_stats(...).first()` yields, with two
+    deliberate conservatisms: ``__nkeys`` is the row count (an upper bound
+    on distinct keys — the merge contract requires a key-unique source, and
+    every consumer of the number is monotone-safe: broadcast refusal,
+    output-file sizing, the no-op check), and ``__null_keys`` sums per-key
+    null counts (for composite keys an upper bound on null-key rows; it
+    only gates the error message). String bounds come from
+    :func:`..table.stats.file_stats`, whose upper bounds are round-up
+    truncated, so pruning stays superset-safe. Returns None whenever any
+    footer lacks the needed stats — callers fall back to the agg job.
+    """
+    try:
+        jplan = source._jdf.queryExecution().analyzed()
+        if jplan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        paths = list(source.inputFiles())
+    except Exception:
+        return None
+    if not paths:
+        return None
+    src_types = {f.name: f.dataType for f in source.schema.fields}
+    tgt_types = {f.name: f.dataType for f in schema.fields}
+    for k in keys:
+        if k not in src_types or src_types.get(k) != tgt_types.get(k):
+            return None
+    from ..table.stats import file_stats
+
+    tot_rows = 0
+    null_keys = 0
+    lo: dict = {k: None for k in keys}
+    hi: dict = {k: None for k in keys}
+    for p in paths:
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        if not p.endswith(".parquet"):
+            return None
+        try:
+            rows, _size, st = file_stats(p, keys)
+        except Exception:
+            return None
+        tot_rows += rows
+        for k in keys:
+            e = st.get(k)
+            if e is None or e["null_count"] is None:
+                return None  # footer can't answer the null guard
+            null_keys += e["null_count"]
+            if e["min"] is not None and (lo[k] is None or e["min"] < lo[k]):
+                lo[k] = e["min"]
+            if e["max"] is not None and (hi[k] is None or e["max"] > hi[k]):
+                hi[k] = e["max"]
+            if e["min"] is None and rows > e["null_count"]:
+                return None  # non-null values but no bounds: stats disabled
+    out = {"__nrows": tot_rows, "__nkeys": tot_rows, "__null_keys": null_keys}
+    for k in keys:
+        out[f"lo_{k}"] = lo[k]
+        out[f"hi_{k}"] = hi[k]
+    return out
+
 
 def _prep_key_stats(source: DataFrame, keys: list[str]) -> DataFrame:
     """The key-only prep aggregation (bounds + distinct count + null guard).
@@ -434,6 +520,10 @@ def merge_into(
     base_registry = table.delete_registry_full(base_snap)
     schema = table.schema()
     lineage = table.row_lineage_enabled()
+    # Footer-based prep (zero Spark jobs) — must look at the RAW source:
+    # the write-default/type-alignment transforms below wrap it in a
+    # Project, after which the footers no longer describe the plan.
+    footer_prep = _footer_prep_stats(source, keys, schema)
     if ROW_ID in source.columns:
         # a lineage scan used as a MERGE source: target identity wins —
         # matched rows keep the TARGET's _row_id, inserts get fresh ids
@@ -457,12 +547,14 @@ def merge_into(
 
     source = source.select(*tcols) if not delete_matched else source
 
-    # Prep job #1 reads ONLY the key columns (column pruning reaches the
-    # source scan — at a 100-TB delta the html payload is the dominant IO
-    # and must not be touched just to plan the merge): key bounds for stats
-    # pruning + exact distinct key count + null-key guard.
+    # Prep reads ONLY the key columns (column pruning reaches the source
+    # scan — at a 100-TB delta the html payload is the dominant IO and must
+    # not be touched just to plan the merge): key bounds for stats pruning
+    # + key count + null-key guard. For a bare file-backed source the whole
+    # aggregation comes from parquet footers with NO Spark job (r6 —
+    # measured ~1 s of the bench merge); derived sources run the agg job.
     src_keys = source.select(*keys).distinct()
-    prep = _prep_key_stats(source, keys).first()
+    prep = footer_prep if footer_prep is not None else _prep_key_stats(source, keys).first()
     n_src_keys = prep["__nkeys"]
     # Byte-size estimate for the broadcast decision — a SECOND, conditional
     # action: when the key count alone disqualifies the broadcast the
@@ -514,8 +606,24 @@ def merge_into(
         salted = src_keys.withColumn(
             "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
         )
+    # Exact-discovery skip (see MERGE_DISCOVERY_SKIP_RATIO): a bulk delta
+    # whose key count rivals the candidates' row count touches ~every
+    # candidate, so the discovery read would cost a full pass over the
+    # candidate key columns to learn what the ratio already implies.
+    try:
+        skip_ratio = float(
+            table.properties().get(
+                "merge.discovery-skip-ratio", MERGE_DISCOVERY_SKIP_RATIO
+            )
+        )
+    except (TypeError, ValueError):
+        skip_ratio = MERGE_DISCOVERY_SKIP_RATIO
+    cand_rows = sum(f.row_count for f in candidates)
+    discovery_skipped = bool(
+        candidates and cand_rows > 0 and n_src_keys >= skip_ratio * cand_rows
+    )
     affected_paths: list[str] = []
-    if candidates:
+    if candidates and not discovery_skipped:
         cand_full = [f"{table.path}/{f.path}" for f in candidates]
         # name-mapped read: files written before a rename_column carry the
         # old physical key name — resolve through the alias plan or the
@@ -547,9 +655,12 @@ def merge_into(
                 p = p[1:]
         return os.path.relpath(p, table.path)
 
-    rel_affected = [_to_rel(p) for p in affected_paths]
-    by_rel = {f.path: f for f in candidates}
-    affected_files = [by_rel[r] for r in rel_affected if r in by_rel]
+    if discovery_skipped:
+        affected_files = list(candidates)
+    else:
+        rel_affected = [_to_rel(p) for p in affected_paths]
+        by_rel = {f.path: f for f in candidates}
+        affected_files = [by_rel[r] for r in rel_affected if r in by_rel]
 
     # --- pre-write no-op detection (P7 empty short-circuit) ------------------
     # discovery is exact: matches exist ⟺ affected_files non-empty
@@ -699,6 +810,7 @@ def merge_into(
             "merge_passthrough": n_pass,
             "merge_candidates_global": n_global_candidates,
             "merge_candidates_scanned": len(candidates),
+            "merge_discovery": "skipped" if discovery_skipped else "exact",
         },
     )
     return MergeResult(snap, n_upd, n_ins, n_upd + n_ins + n_pass, len(affected_files))

@@ -40,10 +40,18 @@ def hybrid_key_scope(
     key_limit: int = BROADCAST_KEY_LIMIT,
 ) -> DataFrame:
     """Scope ``full`` to the rows whose key appears in ``keys_df`` — counted
-    broadcast: the key set is broadcast only when its exact count is under
+    broadcast: the key set is broadcast only when its count is under
     ``key_limit`` (merge_into's threshold); larger sets take the shuffle
-    join. One count() action on the (already distinct) key set buys plan
-    safety at any scale."""
+    join.
+
+    One count() action on the (already distinct) key set buys plan safety
+    at any scale. (r6 audit: two alternatives were measured and REJECTED —
+    collecting the key set to a broadcast LocalRelation re-pays the
+    collect at plan-build time and loses at 58k keys, and dropping the
+    count in favor of AQE's runtime SMJ→BHJ rewrite still shuffles the
+    big side's map stage before the conversion kicks in. The counted
+    broadcast is the only formulation that never shuffles ``full``.)
+    """
     keys = [keys] if isinstance(keys, str) else list(keys)
     probe = F.broadcast(keys_df) if keys_df.count() <= key_limit else keys_df
     return full.join(probe, keys, "inner")

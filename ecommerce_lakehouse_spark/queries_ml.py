@@ -20,8 +20,10 @@ from .functions import text as T
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # shares the main query module's lazy reader-plan memo (metadata only)
+    from .queries import t as _t
+
+    return _t(spark, sf_dir, name)
 
 
 # ------------------------------------------------------------ text analysis
