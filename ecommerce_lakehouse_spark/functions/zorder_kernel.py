@@ -267,6 +267,41 @@ def hilbert_k_udf(*cols):
     return pd.Series(codes.astype(np.int64))
 
 
+# ---------------------------------------------------------------------------
+# JVM-expression Morton (r6): the 2-D interleave is 12 bitwise ops per
+# coordinate, so it runs inside whole-stage codegen with NO Python boundary
+# at all (guide §4.1: prefer built-ins when they exist). This matters twice
+# in a clustering rewrite: repartitionByRange SAMPLES its input to pick
+# range bounds, executing the code expression a second time — with the
+# pandas kernel that was two Arrow round-trips per rewrite, with this it is
+# zero. Bit-identical to morton_udf (tests/test_kernels_unit.py parity
+# test); the pandas kernels remain for Hilbert and k>2 interleaves, whose
+# expression trees would blow up codegen.
+# ---------------------------------------------------------------------------
+
+def _part1by1_col(v: Column) -> Column:
+    """JVM twin of :func:`_part1by1` — spread low 32 bits to even positions.
+
+    All masks are < 2^63 and inputs are pre-masked to 31 bits, so signed
+    long arithmetic agrees with the numpy uint64 kernel bit-for-bit."""
+    v = v.bitwiseAND(F.lit(0xFFFFFFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return v
+
+
+def morton_col(x: Column, y: Column) -> Column:
+    """Pure-JVM 2-D Morton interleave, bit-identical to :func:`morton_udf`
+    (including its null→0 fill and 31-bit masking)."""
+    mask = F.lit((1 << BITS) - 1)
+    xm = _part1by1_col(F.coalesce(x.cast("long"), F.lit(0)).bitwiseAND(mask))
+    ym = _part1by1_col(F.coalesce(y.cast("long"), F.lit(0)).bitwiseAND(mask))
+    return xm.bitwiseOR(F.shiftleft(ym, 1))
+
+
 def coordn(col: Column, bits: int, lo: Column | None = None,
            hi: Column | None = None) -> Column:
     """Normalize a numeric column into [0, 2^bits) JVM-side.

@@ -178,8 +178,20 @@ def _rewrite_bin(
     target_file_bytes: int,
     stats_cols: list[str] | None,
     base_snap: "Snapshot | None" = None,
+    spread_read: bool = False,
 ) -> list[DataFile]:
-    """Read one bin's files, rewrite as ceil(bytes/target) files, stage them."""
+    """Read one bin's files, rewrite as ceil(bytes/target) files, stage them.
+
+    ``spread_read=True`` (set by :func:`compact` when there are fewer bins
+    than worker slots, i.e. cores would otherwise idle — guide §2.6) swaps
+    the plain ``coalesce`` for a shuffle repartition: ``coalesce(n)``
+    collapses the *read* of every input file into the n output tasks, so a
+    64-small-file bin decodes AND re-encodes serially; the shuffle keeps
+    the decode parallel and serializes only the (compressed-page-sized)
+    shuffle bytes into the writer task. With enough bins in flight the
+    shuffle is pure overhead — each bin's single task already saturates a
+    core — so the flag stays off then (same reasoning as Iceberg's
+    rewrite never shuffling inside binpack)."""
     spark = table.spark
     schema = table.schema()
     n_out = max(1, (b.bytes + target_file_bytes - 1) // target_file_bytes)
@@ -202,10 +214,15 @@ def _rewrite_bin(
         if c.strip() and c.strip() in df.columns
     ]
     if sort_cols:
-        df = (
-            df.repartitionByRange(n_out, *sort_cols)
-            if n_out > 1 else df.coalesce(1)
-        ).sortWithinPartitions(*sort_cols)
+        if n_out > 1:
+            df = df.repartitionByRange(n_out, *sort_cols)
+        elif spread_read and len(b.files) > 1:
+            df = df.repartition(1)
+        else:
+            df = df.coalesce(1)
+        df = df.sortWithinPartitions(*sort_cols)
+    elif spread_read and len(b.files) > n_out:
+        df = df.repartition(n_out)
     else:
         df = df.coalesce(n_out)
     staging = os.path.join(table.path, f"_staging-{uuid.uuid4().hex}")
@@ -303,11 +320,16 @@ def compact(
         table.path, JobLedger.job_id_for("compact", snap.snapshot_id, plan_repr)
     )
 
+    # fewer bins than worker slots → cores would idle during each bin's
+    # read; spread the reads with a shuffle (see _rewrite_bin docstring)
+    spread = len(bins) < max_concurrency
+
     def run_bin(b: CompactionBin) -> tuple[CompactionBin, list[DataFile]]:
         done = ledger.outputs_of(b.bin_id)
         if done is not None:  # resume: adopt previously staged outputs
             return b, done
-        outputs = _rewrite_bin(table, b, target_file_bytes, stats_cols, snap)
+        outputs = _rewrite_bin(table, b, target_file_bytes, stats_cols, snap,
+                               spread_read=spread)
         ledger.complete(
             b.bin_id,
             [f.path for f in b.files],

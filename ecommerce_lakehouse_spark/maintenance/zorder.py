@@ -42,8 +42,8 @@ from ..functions.zorder_kernel import (
     coordn,
     hilbert_k_udf,
     hilbert_udf,
+    morton_col,
     morton_k_udf,
-    morton_udf,
     url_hash31,
     url_prefix31,
 )
@@ -173,7 +173,11 @@ def zorder_by(
     n_dims = 2 + len(extra_cols or [])
     bits = bits_for_dims(n_dims)
     if n_dims == 2:
-        kernel = morton_udf if curve == "morton" else hilbert_udf
+        # 2-D Morton runs as a pure JVM expression (zorder_kernel.morton_col,
+        # bit-identical to the pandas kernel): no Python boundary, and the
+        # range-partitioner's sampling pass re-evaluates the code for free
+        # instead of paying a second Arrow round-trip (r6, guide §4.1)
+        kernel = morton_col if curve == "morton" else hilbert_udf
     else:
         kernel = morton_k_udf if curve == "morton" else hilbert_k_udf
 

@@ -79,8 +79,18 @@ def warm_python_workers(spark: SparkSession, cores: int | None = None) -> None:
     mapInPandas job, so the first real pandas-UDF stage doesn't pay N
     concurrent cold pandas imports (~20s at 32 threads in local mode).
     Long-running clusters amortize this; benchmarks must not measure it.
+
+    r6: also warms the generic JVM engine machinery the first real query
+    would otherwise pay for — the noop sink's classloading, WindowExec,
+    decimal hash aggregation, broadcast-join plumbing, and (above all) the
+    first Janino whole-stage-codegen compilations, whose JIT'ing of the
+    compiler itself dominates first-query latency. All of it runs over a
+    16-row in-memory range: engine warm-up only, no input data touched.
     """
     import pandas as pd  # noqa: F401
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     n = cores or spark.sparkContext.defaultParallelism
 
@@ -89,3 +99,26 @@ def warm_python_workers(spark: SparkSession, cores: int | None = None) -> None:
             yield b
 
     spark.range(0, n * 2, 1, n * 2).mapInPandas(_noop, "id long").count()
+
+    base = spark.range(0, 16, 1, 4).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy("id")
+    toy = (
+        base.withColumn("prev", F.lag("v").over(w))
+        .withColumn(
+            "run", F.sum("id").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        )
+        .join(F.broadcast(base.groupBy("k").count()), "k")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("s"),
+            F.count_distinct("id").alias("d"),
+            F.max(F.md5(F.concat_ws("_", "k", "id"))).alias("h"),
+        )
+    )
+    toy.write.format("noop").mode("overwrite").save()

@@ -66,6 +66,44 @@ def test_morton_locality():
     assert (np.diff(z_row.astype(np.int64)) > 0).all(), "monotone along an axis"
 
 
+def test_morton_jvm_expression_parity(spark):
+    """The r6 JVM-expression Morton (zorder_kernel.morton_col — the kernel
+    the production 2-D Z-order rewrite now uses) must agree bit-for-bit
+    with the vectorized pandas kernel, including null handling and values
+    at/over the 31-bit mask."""
+    from ecommerce_lakehouse_spark.functions.zorder_kernel import (
+        morton_col,
+        morton_udf,
+    )
+
+    rng = np.random.RandomState(11)
+    xs = rng.randint(0, 1 << 31, size=2000).tolist() + [
+        0, 1, (1 << 31) - 1, 1 << 31, (1 << 32) + 5, None,
+    ]
+    ys = rng.randint(0, 1 << 31, size=2000).tolist() + [
+        (1 << 31) - 1, None, 7, 123456789, 0, 42,
+    ]
+    df = spark.createDataFrame(
+        [(x, y) for x, y in zip(xs, ys)], "x long, y long"
+    )
+    got = df.select(
+        morton_col(F.col("x"), F.col("y")).alias("jvm"),
+        morton_udf(F.col("x"), F.col("y")).alias("py"),
+    ).collect()
+    assert all(r.jvm == r.py for r in got)
+    # and against the numpy kernel directly for the non-null rows
+    nn = [(x, y) for x, y in zip(xs, ys) if x is not None and y is not None]
+    ref = morton_interleave(
+        np.array([x for x, _ in nn], dtype=np.int64),
+        np.array([y for _, y in nn], dtype=np.int64),
+    )
+    jvm_nn = [
+        r.jvm for r, (x, y) in zip(got, zip(xs, ys))
+        if x is not None and y is not None
+    ]
+    assert jvm_nn == [int(v) for v in ref.astype(np.int64)]
+
+
 def test_hilbert_matches_slow_reference():
     rng = np.random.RandomState(7)
     for bits in (2, 4, 8, 16):
@@ -122,11 +160,11 @@ def test_compaction_ledger_resume(spark, fragmented_table, monkeypatch):
     calls = {"n": 0}
     real = C._rewrite_bin
 
-    def exploding(table, b, target, cols, *a):
+    def exploding(table, b, target, cols, *a, **kw):
         calls["n"] += 1
         if calls["n"] == 3:
             raise RuntimeError("simulated crash")
-        return real(table, b, target, cols, *a)
+        return real(table, b, target, cols, *a, **kw)
 
     monkeypatch.setattr(C, "_rewrite_bin", exploding)
     with pytest.raises(RuntimeError):
