@@ -572,7 +572,8 @@ def merge_into(
             f"merge key(s) {keys}; null keys are unsupported — filter or "
             f"coalesce them before merging"
         )
-    candidates = _prune_candidates(table.live_files(base_snap), prep, keys)
+    live_files = table.live_files(base_snap)
+    candidates = _prune_candidates(live_files, prep, keys)
     n_global_candidates = len(candidates)
     bucket_spec = table.bucket_spec()
     if candidates and bucket_spec is not None and keys[0] == bucket_spec[0]:
@@ -610,6 +611,18 @@ def merge_into(
     # whose key count rivals the candidates' row count touches ~every
     # candidate, so the discovery read would cost a full pass over the
     # candidate key columns to learn what the ratio already implies.
+    # GUARDED on routing evidence (r6 measurement): the ratio argument
+    # assumes source keys spread over the candidates, which holds once
+    # some metadata stage (bounds/bucket/interval/sketch) has actually
+    # pruned — i.e. the layout localizes this key, so the surviving
+    # candidates sit inside the delta's key region. On a layout none of
+    # the routing stages can cut (candidates == live files), a
+    # concentrated delta can touch a small fraction of the files while
+    # the global ratio still clears the bar — skipping there over-rewrote
+    # 64 files where 13 were affected in the bench's index-partitioned
+    # pages table, and every downstream incremental consumer (CDC feed,
+    # mirror) paid to re-read the value-identical rewrites. Exact
+    # discovery stays on in that case.
     try:
         skip_ratio = float(
             table.properties().get(
@@ -620,7 +633,10 @@ def merge_into(
         skip_ratio = MERGE_DISCOVERY_SKIP_RATIO
     cand_rows = sum(f.row_count for f in candidates)
     discovery_skipped = bool(
-        candidates and cand_rows > 0 and n_src_keys >= skip_ratio * cand_rows
+        candidates
+        and len(candidates) < len(live_files)  # routing evidence
+        and cand_rows > 0
+        and n_src_keys >= skip_ratio * cand_rows
     )
     affected_paths: list[str] = []
     if candidates and not discovery_skipped:

@@ -287,6 +287,53 @@ def test_interval_routing_cuts_discovery_on_clustered_table(spark, tmp_path):
     assert tbl.scan().count() == 2000
 
 
+def test_bulk_merge_discovery_skip_requires_routing_evidence(spark, tmp_path):
+    """r6: a bulk delta (keys >= 25% of candidate rows) skips the exact
+    affected-file discovery pass ONLY when a metadata routing stage has
+    already pruned candidates (layout localizes the key). On an unroutable
+    layout the exact pass stays on — a concentrated delta there can touch
+    few files and skipping would over-rewrite (measured on the bench's
+    index-partitioned pages table: 64 rewritten where 13 were affected)."""
+    df = generate_pages(spark, 2000, seed=27, partitions=4)
+
+    # routable layout: url-range files, delta = dense contiguous url slice
+    tbl = IcehouseTable.create(
+        spark, str(tmp_path / "routed"), df.repartitionByRange(13, "url")
+    )
+    urls = sorted(r.url for r in tbl.scan().select("url").collect())
+    band = urls[:300]  # fully covers the first files' key ranges
+    delta = (
+        tbl.scan().filter(F.col("url").isin(band))
+        .withColumn("text", F.concat(F.lit("rev8 "), F.col("text")))
+    )
+    n_live = len(tbl.live_files())
+    res = merge_into(tbl, delta, "url")
+    s = tbl.current_snapshot().summary
+    # routing (bounds and/or interval) pruned the live set before discovery
+    assert s["merge_candidates_scanned"] < n_live
+    assert s["merge_discovery"] == "skipped", (
+        "routed + bulk ratio should skip the exact discovery pass"
+    )
+    assert res.files_rewritten == s["merge_candidates_scanned"]
+    assert res.rows_updated == len(band) and res.rows_inserted == 0
+    assert tbl.scan().filter(F.col("text").startswith("rev8 ")).count() == len(band)
+    assert tbl.scan().count() == 2000
+
+    # unroutable layout (every file spans the url space): exact discovery
+    # stays on even though the global ratio clears the threshold
+    tbl2 = IcehouseTable.create(spark, str(tmp_path / "flat"), df)
+    delta2 = (
+        tbl2.scan().filter(F.col("url").isin(band))
+        .withColumn("text", F.concat(F.lit("rev8 "), F.col("text")))
+    )
+    res2 = merge_into(tbl2, delta2, "url")
+    s2 = tbl2.current_snapshot().summary
+    assert s2["merge_candidates_scanned"] == s2["merge_candidates_global"]
+    assert s2["merge_discovery"] == "exact"
+    assert res2.rows_updated == len(band)
+    assert tbl2.scan().filter(F.col("text").startswith("rev8 ")).count() == len(band)
+
+
 def test_composite_key_merge_routes_on_leading_key(spark, tmp_path):
     """VERDICT r03 #5: a two-column merge key (url + warc_ts, the SCD2-style
     fact merge) must still get interval routing on the LEADING key —
