@@ -35,6 +35,7 @@ the watermark ledger this gives the reference's effectively-once processing.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +51,22 @@ from ..table.stats import _norm
 # broadcasting multi-GB build sides OOMs executors at cluster scale).
 BROADCAST_KEY_LIMIT = 1_000_000
 BROADCAST_BYTES_LIMIT = 256 * 1024 * 1024
+
+
+@contextmanager
+def _job_phase(spark, desc: str):
+    """Label the Spark jobs of a merge phase in the UI (guide §1.5).
+
+    Thread-local in Spark, so concurrent merges from different driver
+    threads label independently; the caller's prior description is
+    restored on exit."""
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(prev)
 
 
 @dataclass
@@ -554,7 +571,11 @@ def merge_into(
     # aggregation comes from parquet footers with NO Spark job (r6 —
     # measured ~1 s of the bench merge); derived sources run the agg job.
     src_keys = source.select(*keys).distinct()
-    prep = footer_prep if footer_prep is not None else _prep_key_stats(source, keys).first()
+    if footer_prep is not None:
+        prep = footer_prep
+    else:
+        with _job_phase(spark, "merge: key-stats prep"):
+            prep = _prep_key_stats(source, keys).first()
     n_src_keys = prep["__nkeys"]
     # Byte-size estimate for the broadcast decision — a SECOND, conditional
     # action: when the key count alone disqualifies the broadcast the
@@ -660,9 +681,10 @@ def merge_into(
             hit = tgt_cand.join(probe, keys + ["__salt"], "left_semi")
         else:
             hit = tgt_cand.join(probe, keys, "left_semi")
-        affected_paths = [
-            r["__file"] for r in hit.select("__file").distinct().collect()
-        ]
+        with _job_phase(spark, "merge: affected-file discovery"):
+            affected_paths = [
+                r["__file"] for r in hit.select("__file").distinct().collect()
+            ]
 
     def _to_rel(p: str) -> str:
         if p.startswith("file:"):
@@ -794,14 +816,15 @@ def merge_into(
 
     # stage first (triggers the one write action → metrics become available),
     # then commit atomically with the metrics in the snapshot summary
-    added = table._stage_dataframe(
-        result, None, snapshot_id=table.current_version() + 1,
-        target_partitions=parts,
-        # range sampling would execute `result` twice and double the
-        # Observation counters riding it — sort.order degrades to a
-        # within-partition sort here (row-group stats still tighten)
-        range_sort_ok=False,
-    )
+    with _job_phase(spark, "merge: rewrite+write"):
+        added = table._stage_dataframe(
+            result, None, snapshot_id=table.current_version() + 1,
+            target_partitions=parts,
+            # range sampling would execute `result` twice and double the
+            # Observation counters riding it — sort.order degrades to a
+            # within-partition sort here (row-group stats still tighten)
+            range_sort_ok=False,
+        )
     if obs is not None:
         got = obs.get
         n_upd, n_ins, n_pass = got["n_upd"] or 0, got["n_ins"] or 0, got["n_pass"] or 0

@@ -726,6 +726,32 @@ FROM events GROUP BY 1
 # Registry
 # ---------------------------------------------------------------------------
 
+def _plan_memo(fn):
+    """Memoize a query's lazy DataFrame per (applicationId, sf_dir).
+
+    Same contract as the reader memo in :func:`t` — a DataFrame is an
+    unexecuted plan, so this caches plan CONSTRUCTION (py4j expression
+    building, ~0.1-0.3 s per call) and nothing else: every action against
+    the returned object re-optimizes and re-executes from the parquet
+    inputs. Applied only to the pure read-side queries below; the
+    maintenance queries (side-effecting fixture builds) and ML queries
+    are registered unwrapped."""
+    import functools
+
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        key = (spark.sparkContext.applicationId, sf_dir)
+        df = cache.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            cache[key] = df
+        return df
+
+    return wrapped
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict = {
     "watermark_scan": (q_watermark_scan, SQL_WATERMARK_SCAN),
@@ -747,6 +773,8 @@ REGISTRY: dict = {
     "md5_surrogate": (q_md5_surrogate, SQL_MD5_SURROGATE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
 }
+
+REGISTRY = {name: (_plan_memo(fn), sql) for name, (fn, sql) in REGISTRY.items()}
 
 # Training-data pipeline operators (dedup / similarity / text / multimodal)
 from .queries_ml import ML_REGISTRY  # noqa: E402
@@ -883,5 +911,7 @@ LEFT JOIN versions ON o_custkey = v_custkey
                   AND o_orderdate >= effective_from AND o_orderdate < effective_to
 """
 
-REGISTRY["product_performance"] = (q_product_performance, SQL_PRODUCT_PERFORMANCE)
-REGISTRY["orders_clean"] = (q_orders_clean, SQL_ORDERS_CLEAN)
+REGISTRY["product_performance"] = (
+    _plan_memo(q_product_performance), SQL_PRODUCT_PERFORMANCE
+)
+REGISTRY["orders_clean"] = (_plan_memo(q_orders_clean), SQL_ORDERS_CLEAN)

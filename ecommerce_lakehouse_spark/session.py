@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # (r6 audit: coalescePartitions.parallelismFirst=false was
+        # measured across the full bench and REVERTED — merge improved
+        # ~0.4s but the window/agg queries and the CDC mirror lost more
+        # than that to under-parallelized mid-size shuffles.)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -122,3 +126,11 @@ def warm_python_workers(spark: SparkSession, cores: int | None = None) -> None:
         )
     )
     toy.write.format("noop").mode("overwrite").save()
+    # the merge path's join shapes: broadcast left-semi (discovery) and
+    # left-anti (insert detection)
+    keys = base.select("k").distinct()
+    (
+        base.join(F.broadcast(keys), "k", "left_semi")
+        .unionByName(base.join(F.broadcast(keys), "k", "left_anti"))
+        .write.format("noop").mode("overwrite").save()
+    )
