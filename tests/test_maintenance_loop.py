@@ -89,11 +89,11 @@ def test_loop_resumes_after_mid_compaction_crash(spark, tmp_path, monkeypatch):
     calls = {"n": 0}
     real = c._rewrite_bin
 
-    def crashing(table, b, target_bytes, stats_cols, *a):
+    def crashing(table, b, target_bytes, stats_cols, *a, **kw):
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("simulated kill mid-compaction")
-        return real(table, b, target_bytes, stats_cols, *a)
+        return real(table, b, target_bytes, stats_cols, *a, **kw)
 
     monkeypatch.setattr(c, "_rewrite_bin", crashing)
     loop = MaintenanceLoop(tbl, target_file_bytes=target)
