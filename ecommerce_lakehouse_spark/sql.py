@@ -225,11 +225,26 @@ class IcehouseSQL:
                 # view registers its dependency closure (tables at their
                 # pins, prerequisite views) as temp views, so a SELECT over
                 # a view needs no prior register_views() call
-                from .table.catalog import _references
+                from .table.catalog import _in_closure, _references, _view_order
 
+                md = self.catalog.load_metadata()
+                views = md.get("views", {})
                 for v in self.catalog.view_names():
                     if _references(s, v):
                         self.catalog.read_view(v)
+                        # read_view registered the view closure's TABLES
+                        # as temp views at the current pins; record them
+                        # as auto-managed (ADVICE r5) or a later
+                        # sql("SELECT ... FROM <table>") after a pin
+                        # advance would see tableExists() and keep the
+                        # stale registration — wrong results
+                        order = [
+                            u for u in _view_order(views)
+                            if u == v or _in_closure(views, v, u)
+                        ]
+                        for tname in md["tables"]:
+                            if any(_references(views[u], tname) for u in order):
+                                self._auto_tables.add(tname)
                 # catalog TABLES (incl. materialized views' backing
                 # tables) resolve on demand too — registered at their
                 # CURRENT pin, but never clobbering a temp view the

@@ -221,6 +221,18 @@ class Catalog:
                     f"table {name!r} is referenced by view(s) "
                     f"{sorted(holders)} — drop them first"
                 )
+            # a table that SOURCES a materialized view can't drop either
+            # (ADVICE r5): the dangling MV's next refresh would fail with
+            # a confusing 'unknown table' and kill the run_catalog tick
+            mv_holders = [
+                m for m, spec in md.get("mviews", {}).items()
+                if spec.get("source") == name
+            ]
+            if mv_holders:
+                raise CommitConflict(
+                    f"table {name!r} is the source of materialized "
+                    f"view(s) {sorted(mv_holders)} — drop them first"
+                )
             path_holder["path"] = entry["path"]
             del md["tables"][name]
             return md
@@ -414,6 +426,24 @@ class Catalog:
 
         protect = set(kwargs.pop("protect_ids", None) or ())
         protect.add(self.pinned_snapshot(name))
+        # materialized views over this table incrementally refresh FROM
+        # their recorded baseline snapshot by walking the (refreshed, pin]
+        # snapshot chain (touched_keys) — expiring ANY snapshot in that
+        # range silently degrades every subsequent refresh to the O(table)
+        # full path the MV exists to avoid (ADVICE r5). Protect the chain
+        # back to the oldest MV baseline; in the intended run_catalog flow
+        # (refresh, then expire) the span is one tick wide, so this keeps
+        # expiry effective while making out-of-band expiry safe.
+        baselines = [
+            spec["refreshed"]
+            for spec in self.load_metadata().get("mviews", {}).values()
+            if spec.get("source") == name and spec.get("refreshed") is not None
+        ]
+        if baselines:
+            oldest = min(baselines)
+            for s in self.table(name).snapshots():
+                if s.snapshot_id >= oldest:
+                    protect.add(s.snapshot_id)
         return expire_snapshots(self.table(name), protect_ids=protect, **kwargs)
 
     # ---------------------------------------------------- materialized views

@@ -250,6 +250,20 @@ def refresh_materialized_view(
         def mutate(meta: dict) -> dict:
             if name not in meta.get("mviews", {}):
                 raise CommitConflict(f"materialized view {name!r} dropped")
+            # first-committer-wins (ADVICE r5): two overlapping refreshes
+            # planned from the same baseline would otherwise interleave —
+            # the staler recompute's MERGE can land after the newer one's
+            # while 'refreshed' ends at the newer pin, leaving those
+            # groups permanently stale. Conflict out the loser instead
+            # (same snapshot-isolation idiom as the catalog txns); it
+            # re-runs from the advanced baseline.
+            cur = meta["mviews"][name].get("refreshed")
+            if cur != last:
+                raise CommitConflict(
+                    f"materialized view {name!r} was refreshed "
+                    f"concurrently (baseline {last} advanced to {cur}) — "
+                    f"re-run the refresh"
+                )
             meta["mviews"][name]["refreshed"] = pin
             meta["tables"][name]["snapshot"] = sid
             return meta

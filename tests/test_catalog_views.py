@@ -162,3 +162,25 @@ def test_concurrent_create_view_serializes_on_catalog_cas(spark, catalog):
                 errs += 1
     assert errs == 1  # exactly one winner
     assert "dup" in catalog.view_names()
+
+
+def test_table_select_after_view_select_tracks_pin_advance(spark, catalog):
+    """ADVICE r5 (sql.py auto-registration): read_view registers the view
+    closure's tables as temp views; a later direct SELECT over such a
+    table must re-pin it after the catalog pin advances, not reuse the
+    stale registration."""
+    catalog.create_view(
+        "lang_counts", "SELECT lang, count(*) AS n FROM pages GROUP BY lang"
+    )
+    sql = IcehouseSQL(spark, catalog=catalog)
+    sql.sql("SELECT * FROM lang_counts").collect()  # registers 'pages' @ P1
+    before = sql.sql("SELECT count(*) AS n FROM pages").collect()[0]["n"]
+
+    catalog.table("pages").append(
+        generate_pages(spark, 50, seed=77, partitions=1)
+    )
+    catalog.refresh("pages")  # pin advance
+    got = sql.sql("SELECT count(*) AS n FROM pages").collect()[0]["n"]
+    assert got == before + 50, (
+        "direct table SELECT after a view SELECT must track the new pin"
+    )

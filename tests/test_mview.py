@@ -121,9 +121,13 @@ def test_expired_history_falls_back_to_full(spark, cat):
     tbl.append(generate_pages(spark, 40, seed=71, partitions=1))
     tbl.append(generate_pages(spark, 40, seed=72, partitions=1))
     cat.refresh("pages")
-    # expire everything but the head: the CDC range from the MV's last
-    # refresh is no longer reconstructable
-    cat.expire("pages", keep_last=1)
+    # expire everything but the head BYPASSING the catalog (r6: Catalog.
+    # expire now protects the MV's refresh range, so the degradation
+    # scenario is genuinely out-of-band table-level expiry): the CDC
+    # range from the MV's last refresh is no longer reconstructable
+    from ecommerce_lakehouse_spark.maintenance import expire_snapshots
+
+    expire_snapshots(tbl, keep_last=1)
     res = cat.refresh_materialized_view("mv")
     assert res["mode"] == "full"
     _mv_vs_recompute(cat)
@@ -340,3 +344,70 @@ def test_sql_surface(spark, cat):
     assert total == cat.read("pages").count()
     sql.sql("DROP MATERIALIZED VIEW lang_stats")
     assert cat.mview_names() == []
+
+
+def test_drop_table_refuses_mv_source(cat):
+    """ADVICE r5: dropping a table that sources a materialized view would
+    leave a dangling MV whose refresh dies with 'unknown table'."""
+    cat.create_materialized_view("mv", MV_SQL)
+    with pytest.raises(CommitConflict, match="materialized view"):
+        cat.drop_table("pages")
+    cat.drop_materialized_view("mv")
+    cat.drop_table("pages")  # with the MV gone, the drop proceeds
+
+
+def test_expire_protects_mv_refresh_baseline(spark, cat):
+    """ADVICE r5: catalog expire must protect the snapshots MVs refresh
+    FROM, or out-of-band expiry silently degrades every subsequent
+    refresh to the full path."""
+    cat.create_materialized_view("mv", MV_SQL)
+    for i in range(3):
+        cat.table("pages").append(
+            generate_pages(spark, 30, seed=70 + i, partitions=1)
+        )
+        cat.refresh("pages")
+    baseline = cat.mview_definition("mv")["refreshed"]
+    cat.expire("pages", keep_last=1, orphan_grace_ms=0)
+    live = {s.snapshot_id for s in cat.table("pages").snapshots()}
+    assert baseline in live, "MV refresh baseline must survive expiry"
+    res = cat.refresh_materialized_view("mv")
+    assert res["mode"] == "incremental", "refresh must not degrade to full"
+    _mv_vs_recompute(cat)
+
+
+def test_concurrent_refresh_conflicts_first_committer_wins(
+    spark, cat, monkeypatch
+):
+    """ADVICE r5: two refreshes planned from the same baseline must not
+    interleave — the second committer gets a CommitConflict and re-runs
+    from the advanced baseline."""
+    import ecommerce_lakehouse_spark.table.mview as mv_mod
+    from ecommerce_lakehouse_spark.operators.merge import dedup_latest
+
+    cat.create_materialized_view("mv", MV_SQL)
+    delta = dedup_latest(
+        generate_pages(spark, 40, seed=62, partitions=1, revision=2),
+        ["url"], "warc_ts",
+    ).localCheckpoint()
+    with cat.transaction() as txn:
+        txn.merge_into("pages", delta, ["url"])
+
+    real = mv_mod._compute
+    state = {"fired": False}
+
+    def racing(*a, **kw):
+        out = real(*a, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            monkeypatch.setattr(mv_mod, "_compute", real)
+            # a concurrent refresh lands first, advancing 'refreshed'
+            cat.refresh_materialized_view("mv", full=True)
+        return out
+
+    monkeypatch.setattr(mv_mod, "_compute", racing)
+    with pytest.raises(CommitConflict, match="concurrently"):
+        cat.refresh_materialized_view("mv", full=True)
+    # the loser re-runs cleanly from the new baseline
+    res = cat.refresh_materialized_view("mv")
+    assert res["mode"] == "noop"
+    _mv_vs_recompute(cat)
