@@ -107,11 +107,19 @@ def file_stats(path: str, stats_cols: list[str] | None = None) -> tuple[int, int
 def collect_stats(spark, paths: list[str], stats_cols: list[str] | None = None) -> list[dict]:
     """Stats for many files; distributed over executors when the list is big."""
     if len(paths) < DISTRIBUTED_THRESHOLD:
-        out = []
-        for p in paths:
+        # driver-side, but not serial: pyarrow releases the GIL during
+        # footer I/O, so a small thread pool overlaps the per-file opens
+        # (r6 — this loop sits inside every write path's critical section)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(p: str) -> dict:
             rows, size, stats = file_stats(p, stats_cols)
-            out.append({"path": p, "row_count": rows, "size_bytes": size, "stats": stats})
-        return out
+            return {"path": p, "row_count": rows, "size_bytes": size, "stats": stats}
+
+        if len(paths) <= 2:
+            return [one(p) for p in paths]
+        with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
+            return list(pool.map(one, paths))
 
     import json
 
