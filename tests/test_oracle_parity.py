@@ -30,3 +30,4 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
